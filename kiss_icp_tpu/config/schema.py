@@ -1,0 +1,98 @@
+"""Configuration schema for the TPU-native KISS-ICP framework.
+
+Mirrors the reference's layered pydantic config (python/kiss_icp/config/config.py:28-48
+and parser.py:41-90) with plain dataclasses (no pydantic dependency), and adds an
+`engine` section with the TPU-specific static capacities: on TPU every buffer has a
+fixed shape, so point budgets / map capacity / probe length are first-class config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+
+@dataclass
+class DataConfig:
+    max_range: float = 100.0
+    min_range: float = 0.0
+    deskew: bool = True
+
+
+@dataclass
+class MappingConfig:
+    voxel_size: Optional[float] = None  # default: derived as max_range / 100
+    max_points_per_voxel: int = 20
+
+
+@dataclass
+class RegistrationConfig:
+    max_num_iterations: int = 500
+    convergence_criterion: float = 1e-4
+    # Kept for config-file compatibility with the reference; on TPU parallelism is
+    # XLA's concern, not a thread count.
+    max_num_threads: int = 0
+
+
+@dataclass
+class AdaptiveThresholdConfig:
+    fixed_threshold: Optional[float] = None
+    initial_threshold: float = 2.0
+    min_motion_th: float = 0.1
+
+
+@dataclass
+class EngineConfig:
+    """TPU static-shape / capacity plan (no analog in the reference: robin_map and
+    std::vector grow dynamically; XLA programs cannot — see SURVEY.md section 7)."""
+
+    # Padded capacity for raw input scans (points per frame).
+    max_points_per_frame: int = 131072
+    # Capacity of the 0.5*voxel downsampled cloud used for map updates.
+    frame_capacity: int = 65536
+    # Capacity of the 1.5*voxel downsampled cloud used as ICP source ("keypoints").
+    source_capacity: int = 8192
+    # Voxel hash-map capacity as log2 of slot count (open addressing, linear probing).
+    map_capacity_log2: int = 18
+    # Linear-probe window length (slots scanned per lookup; contiguous in memory).
+    probe_length: int = 16
+    # Max same-frame insert candidates considered per map voxel.
+    group_capacity: int = 16
+    # Donate the odometry state buffers to the jitted step (in-place updates).
+    donate_state: bool = True
+
+    @property
+    def map_capacity(self) -> int:
+        return 1 << self.map_capacity_log2
+
+
+@dataclass
+class KISSConfig:
+    out_dir: str = "results"
+    data: DataConfig = field(default_factory=DataConfig)
+    registration: RegistrationConfig = field(default_factory=RegistrationConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)
+    adaptive_threshold: AdaptiveThresholdConfig = field(default_factory=AdaptiveThresholdConfig)
+    engine: EngineConfig = field(default_factory=EngineConfig)
+
+
+def _update_dataclass(obj: Any, values: Dict[str, Any], path: str = "") -> None:
+    for key, val in values.items():
+        if not hasattr(obj, key):
+            raise ValueError(f"Unknown config key: {path}{key}")
+        cur = getattr(obj, key)
+        if dataclasses.is_dataclass(cur) and isinstance(val, dict):
+            _update_dataclass(cur, val, path=f"{path}{key}.")
+        else:
+            setattr(obj, key, val)
+
+
+def config_from_dict(values: Dict[str, Any]) -> KISSConfig:
+    cfg = KISSConfig()
+    _update_dataclass(cfg, values or {})
+    return cfg
+
+
+def config_to_dict(cfg: KISSConfig) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)
