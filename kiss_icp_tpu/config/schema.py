@@ -53,8 +53,10 @@ class EngineConfig:
     frame_capacity: int = 65536
     # Capacity of the 1.5*voxel downsampled cloud used as ICP source ("keypoints").
     source_capacity: int = 8192
-    # Voxel hash-map capacity as log2 of slot count (open addressing, linear probing).
-    map_capacity_log2: int = 18
+    # Voxel hash-map capacity as log2 of slot count (open addressing, linear
+    # probing). 2^19 slots keeps the load factor ~0.2 for a 100 m / 1 m-voxel
+    # local map, making probe-window overflow negligible.
+    map_capacity_log2: int = 19
     # Linear-probe window length (slots scanned per lookup; contiguous in memory).
     probe_length: int = 16
     # Max same-frame insert candidates considered per map voxel.

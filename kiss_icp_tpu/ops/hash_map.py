@@ -1,0 +1,352 @@
+"""Fixed-capacity voxel hash map: the TPU-native local map.
+
+Replaces the reference's `tsl::robin_map<Voxel, std::vector<Vector3d>>`
+(cpp/kiss_icp/core/VoxelHashMap.{hpp:38-57,cpp:33-133}) with flat arrays and
+open addressing, designed so every operation is a fixed-shape XLA program:
+
+  * slots:      `vkeys (C,3) i32` voxel coords, `fprints (C,) i32` nonzero hash
+                fingerprint (0 = free slot), `counts (C,) i32`, and a dense
+                point store `points (C,P,3) f32`.
+  * probing:    linear, over a contiguous window of `probe_length` slots —
+                lookups read one small contiguous vector instead of chasing
+                pointers. All window slots are always scanned (no early exit),
+                so removals never break probe chains and need no tombstones.
+  * queries:    the reference's 27-voxel nearest-neighbor search
+                (VoxelHashMap.cpp:35-70) becomes: fingerprint-match the 27
+                neighbor windows, gather one point row per matched voxel, and
+                take a masked min over 27*P distances. A fingerprint false
+                positive can only *add* candidate points that belong to some
+                other (far) voxel — they lose the min-distance race, so the
+                returned neighbor is exact.
+  * inserts:    batched and deterministic. New voxels claim free slots through
+                scatter-min "claim rounds" (lowest batch row wins), so results
+                do not depend on XLA scheduling — unlike the reference's
+                tbb::concurrent_vector which is nondeterministic by design
+                (SURVEY.md section 2.2).
+  * removal:    `trim` clears slots whose first stored point is farther than
+                max_distance from the sensor origin (VoxelHashMap.cpp:121-132)
+                by zeroing count+fingerprint — a masked store, no compaction.
+
+The per-voxel insert semantics mirror the reference exactly
+(VoxelHashMap.cpp:97-119): at most `max_points_per_voxel` points per voxel, a
+new point is rejected when any stored point lies within
+`map_resolution = sqrt(voxel_size^2 / max_points_per_voxel)`.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kiss_icp_tpu.ops import voxel as voxel_ops
+
+# 27 neighbor offsets: the (0,0,0)-centered 3x3x3 cube, own voxel first
+# (reference VoxelHashMap.cpp:35-41 shift table covers the same set).
+# Kept as numpy so importing this module does not touch any device backend.
+_NEIGHBOR_SHIFTS = np.array(
+    [[dx, dy, dz] for dx in (0, 1, -1) for dy in (0, 1, -1) for dz in (0, 1, -1)],
+    dtype=np.int32,
+)
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Static (compile-time) configuration of the voxel map."""
+
+    voxel_size: float = 1.0
+    max_distance: float = 100.0
+    max_points_per_voxel: int = 20
+    capacity_log2: int = 18
+    probe_length: int = 16
+    group_capacity: int = 16
+
+    @property
+    def capacity(self) -> int:
+        return 1 << self.capacity_log2
+
+    @property
+    def map_resolution_sq(self) -> float:
+        return self.voxel_size * self.voxel_size / self.max_points_per_voxel
+
+
+class VoxelMap(NamedTuple):
+    """Device state of the map (a pytree; config is carried separately)."""
+
+    vkeys: jnp.ndarray  # (C, 3) int32
+    fprints: jnp.ndarray  # (C,) int32, 0 = free
+    counts: jnp.ndarray  # (C,) int32
+    points: jnp.ndarray  # (C, P, 3) float32
+    total_points: jnp.ndarray  # () int32
+    num_dropped_voxels: jnp.ndarray  # () int32 — voxels lost to probe overflow
+
+
+def create_map(cfg: MapConfig) -> VoxelMap:
+    c, p = cfg.capacity, cfg.max_points_per_voxel
+    return VoxelMap(
+        vkeys=jnp.zeros((c, 3), jnp.int32),
+        fprints=jnp.zeros((c,), jnp.int32),
+        counts=jnp.zeros((c,), jnp.int32),
+        points=jnp.zeros((c, p, 3), jnp.float32),
+        total_points=jnp.zeros((), jnp.int32),
+        num_dropped_voxels=jnp.zeros((), jnp.int32),
+    )
+
+
+def _mix(h: jnp.ndarray) -> jnp.ndarray:
+    """lowbias32 finalizer: uint32 -> well-mixed uint32."""
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _hash_coords(coords: jnp.ndarray) -> jnp.ndarray:
+    """Spatial hash of int32 voxel coords (..., 3) -> uint32 (...,).
+
+    Sequential mixing (hash_combine style) rather than XOR-of-multiplies: the
+    classic `x*P1 ^ y*P2 ^ z*P3` has structured collisions, e.g. negated
+    coordinate pairs (x,y,z) vs (-x,-y,z) collide exactly, which a final
+    mix cannot repair because the inputs are already equal.
+    """
+    x = coords[..., 0].astype(jnp.uint32)
+    y = coords[..., 1].astype(jnp.uint32)
+    z = coords[..., 2].astype(jnp.uint32)
+    h = _mix(x * jnp.uint32(0x9E3779B1))
+    h = _mix(h ^ (y * jnp.uint32(0x85EBCA77)))
+    h = _mix(h ^ (z * jnp.uint32(0xC2B2AE3D)))
+    return h
+
+
+def fingerprint(coords: jnp.ndarray) -> jnp.ndarray:
+    """Nonzero int32 fingerprint of voxel coords (0 is the free-slot marker)."""
+    h = _mix(_hash_coords(coords) ^ jnp.uint32(0x9E3779B9))
+    h = jnp.where(h == 0, jnp.uint32(1), h)
+    return h.astype(jnp.int32)
+
+
+def bucket(coords: jnp.ndarray, capacity_log2: int) -> jnp.ndarray:
+    """Home slot of a voxel: top bits of the mixed hash."""
+    return (_hash_coords(coords) >> (32 - capacity_log2)).astype(jnp.int32)
+
+
+def _window(base: jnp.ndarray, probe_length: int, capacity: int) -> jnp.ndarray:
+    """Slot indices of the probe window: (..., probe_length) int32, wrapping."""
+    offs = jnp.arange(probe_length, dtype=jnp.int32)
+    return (base[..., None] + offs) & (capacity - 1)
+
+
+class QueryResult(NamedTuple):
+    neighbors: jnp.ndarray  # (N, 3) closest map point (garbage when not found)
+    distances: jnp.ndarray  # (N,) Euclidean distance (+inf when not found)
+    found: jnp.ndarray  # (N,) bool
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def query_nearest(cfg: MapConfig, m: VoxelMap, queries: jnp.ndarray,
+                  valid: jnp.ndarray) -> QueryResult:
+    """Closest map point among the 27 voxels around each query point.
+
+    Exact equivalent of VoxelHashMap::GetClosestNeighbor (VoxelHashMap.cpp:46-70)
+    vectorized over all queries.
+    """
+    n = queries.shape[0]
+    k = cfg.probe_length
+    p = cfg.max_points_per_voxel
+    cap = cfg.capacity
+
+    qvox = voxel_ops.point_to_voxel(queries, cfg.voxel_size)  # (N, 3)
+    shifts = jnp.asarray(_NEIGHBOR_SHIFTS)
+    neigh = qvox[:, None, :] + shifts[None, :, :]  # (N, 27, 3)
+    target_fp = fingerprint(neigh)  # (N, 27)
+    base = bucket(neigh, cfg.capacity_log2)  # (N, 27)
+    slots = _window(base, k, cap)  # (N, 27, K)
+
+    window_fp = m.fprints[slots]  # (N, 27, K) gather
+    match = window_fp == target_fp[..., None]
+    has_voxel = jnp.any(match, axis=-1)  # (N, 27)
+    first = jnp.argmax(match, axis=-1)  # (N, 27)
+    slot = jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0]  # (N, 27)
+
+    # Verify the matched slot's exact key: a fingerprint collision inside the
+    # window (probability ~K/2^32 per lookup) must never surface another
+    # voxel's points as this voxel's.
+    exact = jnp.all(m.vkeys[slot] == neigh, axis=-1)  # (N, 27)
+    has_voxel = has_voxel & exact
+
+    cnt = m.counts[slot]  # (N, 27)
+    pts = m.points[slot]  # (N, 27, P, 3) row gather
+
+    d2 = jnp.sum((queries[:, None, None, :] - pts) ** 2, axis=-1)  # (N, 27, P)
+    in_range = jnp.arange(p, dtype=jnp.int32)[None, None, :] < cnt[..., None]
+    usable = in_range & has_voxel[..., None]
+    d2 = jnp.where(usable, d2, jnp.inf)
+
+    d2_flat = d2.reshape(n, 27 * p)
+    best = jnp.argmin(d2_flat, axis=-1)
+    best_d2 = jnp.take_along_axis(d2_flat, best[:, None], axis=-1)[:, 0]
+    nn = jnp.take_along_axis(
+        pts.reshape(n, 27 * p, 3), best[:, None, None], axis=1
+    )[:, 0, :]
+
+    found = jnp.isfinite(best_d2) & valid
+    return QueryResult(nn, jnp.sqrt(best_d2), found)
+
+
+class InsertStats(NamedTuple):
+    num_added_points: jnp.ndarray  # () int32
+    num_dropped_voxels: jnp.ndarray  # () int32 — new voxels with no free slot
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("m",))
+def insert(cfg: MapConfig, m: VoxelMap, points: jnp.ndarray,
+           valid: jnp.ndarray) -> Tuple[VoxelMap, InsertStats]:
+    """Add one frame of (world-frame) points to the map.
+
+    Mirrors VoxelHashMap::AddPoints (VoxelHashMap.cpp:97-119): group the frame
+    by voxel, find-or-claim a slot per voxel, then run the sequential
+    accept/reject loop over each voxel's candidates — vectorized across voxels.
+    """
+    k = cfg.probe_length
+    p = cfg.max_points_per_voxel
+    cap = cfg.capacity
+
+    groups = voxel_ops.group_by_voxel(
+        points, valid, voxel_size=cfg.voxel_size, group_capacity=cfg.group_capacity
+    )
+    v = groups.coords.shape[0]  # rows (= input capacity)
+    gvalid = groups.group_valid
+
+    fp = fingerprint(groups.coords)  # (V,)
+    base = bucket(groups.coords, cfg.capacity_log2)  # (V,)
+    slots = _window(base, k, cap)  # (V, K)
+
+    # --- Phase A: find existing slots (full-window fingerprint + key compare).
+    window_fp = m.fprints[slots]  # (V, K)
+    fp_match = window_fp == fp[:, None]
+    window_keys = m.vkeys[slots]  # (V, K, 3)
+    key_match = jnp.all(window_keys == groups.coords[:, None, :], axis=-1)
+    exact = fp_match & key_match
+    has_existing = jnp.any(exact, axis=-1) & gvalid
+    exist_pos = jnp.argmax(exact, axis=-1)
+
+    # --- Phase B: claim free slots for new voxels (deterministic rounds).
+    row_ids = jnp.arange(v, dtype=jnp.int32)
+
+    def claim_round(state):
+        fprints, vkeys, pending, assigned, _ = state
+        wfp = fprints[slots]  # (V, K)
+        free = wfp == 0
+        any_free = jnp.any(free, axis=-1)
+        tgt_pos = jnp.argmax(free, axis=-1)
+        tgt_slot = jnp.take_along_axis(slots, tgt_pos[:, None], axis=-1)[:, 0]
+        attempt = pending & any_free
+        claim_idx = jnp.where(attempt, tgt_slot, cap)  # cap = dropped
+        claims = jnp.full((cap,), v, jnp.int32).at[claim_idx].min(
+            jnp.where(attempt, row_ids, v), mode="drop"
+        )
+        won = attempt & (claims[jnp.minimum(tgt_slot, cap - 1)] == row_ids)
+        fprints = fprints.at[jnp.where(won, tgt_slot, cap)].set(
+            fp, mode="drop"
+        )
+        vkeys = vkeys.at[jnp.where(won, tgt_slot, cap)].set(groups.coords, mode="drop")
+        assigned = jnp.where(won, tgt_slot, assigned)
+        # Rows with no free slot anywhere in their window can never win: drop.
+        pending = pending & ~won & any_free
+        return fprints, vkeys, pending, assigned, won
+
+    def claim_cond(state):
+        return jnp.any(state[2])
+
+    pending0 = gvalid & ~has_existing
+    assigned0 = jnp.full((v,), -1, jnp.int32)
+    fprints, vkeys, pending, assigned, _ = jax.lax.while_loop(
+        claim_cond,
+        claim_round,
+        (m.fprints, m.vkeys, pending0, assigned0, jnp.zeros((v,), bool)),
+    )
+    dropped = jnp.sum((gvalid & ~has_existing & (assigned < 0)).astype(jnp.int32))
+
+    slot = jnp.where(
+        has_existing,
+        jnp.take_along_axis(slots, exist_pos[:, None], axis=-1)[:, 0],
+        assigned,
+    )
+    has_slot = gvalid & (slot >= 0)
+    slot_safe = jnp.where(has_slot, slot, 0)
+
+    # --- Phase C: sequential accept/reject of candidates, vectorized over voxels.
+    stored = m.points[slot_safe]  # (V, P, 3)
+    cnt = jnp.where(has_slot, m.counts[slot_safe], 0)  # claimed slots have count 0
+
+    res_sq = jnp.asarray(cfg.map_resolution_sq, stored.dtype)
+    lanes = jnp.arange(p, dtype=jnp.int32)
+
+    def accept_step(j, state):
+        stored, cnt, added = state
+        cand = groups.candidates[:, j, :]  # (V, 3)
+        cand_ok = groups.cand_valid[:, j] & has_slot
+        d2 = jnp.sum((stored - cand[:, None, :]) ** 2, axis=-1)  # (V, P)
+        d2 = jnp.where(lanes[None, :] < cnt[:, None], d2, jnp.inf)
+        min_d2 = jnp.min(d2, axis=-1)
+        accept = cand_ok & (cnt < p) & (min_d2 >= res_sq)
+        write = (lanes[None, :] == cnt[:, None]) & accept[:, None]
+        stored = jnp.where(write[..., None], cand[:, None, :], stored)
+        cnt = cnt + accept.astype(jnp.int32)
+        added = added + jnp.sum(accept.astype(jnp.int32))
+        return stored, cnt, added
+
+    stored, cnt, added = jax.lax.fori_loop(
+        0, cfg.group_capacity, accept_step, (stored, cnt, jnp.zeros((), jnp.int32))
+    )
+
+    # --- Phase D: write rows back.
+    write_idx = jnp.where(has_slot, slot_safe, cap)
+    new_points = m.points.at[write_idx].set(stored, mode="drop")
+    new_counts = m.counts.at[write_idx].set(cnt, mode="drop")
+
+    new_map = VoxelMap(
+        vkeys=vkeys,
+        fprints=fprints,
+        counts=new_counts,
+        points=new_points,
+        total_points=m.total_points + added,
+        num_dropped_voxels=m.num_dropped_voxels + dropped,
+    )
+    return new_map, InsertStats(added, dropped)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("m",))
+def trim(cfg: MapConfig, m: VoxelMap, origin: jnp.ndarray) -> VoxelMap:
+    """Remove voxels whose FIRST stored point is >= max_distance from origin
+    (reference RemovePointsFarFromLocation, VoxelHashMap.cpp:121-132)."""
+    first_pt = m.points[:, 0, :]  # (C, 3)
+    d2 = jnp.sum((first_pt - origin[None, :]) ** 2, axis=-1)
+    live = m.counts > 0
+    kill = live & (d2 >= cfg.max_distance * cfg.max_distance)
+    removed = jnp.sum(jnp.where(kill, m.counts, 0))
+    keep = ~kill
+    return m._replace(
+        fprints=jnp.where(keep, m.fprints, 0),
+        counts=jnp.where(keep, m.counts, 0),
+        total_points=m.total_points - removed,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def extract_points(cfg: MapConfig, m: VoxelMap) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dump the map to a padded (C*P, 3) cloud + mask (reference Pointcloud(),
+    VoxelHashMap.cpp:72-81). Mainly for visualization and tests."""
+    p = cfg.max_points_per_voxel
+    mask = jnp.arange(p, dtype=jnp.int32)[None, :] < m.counts[:, None]
+    return m.points.reshape(-1, 3), mask.reshape(-1)
+
+
+def is_empty(m: VoxelMap) -> jnp.ndarray:
+    return m.total_points == 0
