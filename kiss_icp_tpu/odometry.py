@@ -1,0 +1,232 @@
+"""KISS-ICP odometry: the ONE per-frame orchestration, as a jitted pure function.
+
+The reference maintains two hand-synchronized copies of this 40-line algorithm
+(cpp/kiss_icp/pipeline/KissICP.cpp:35-68 for ROS, python/kiss_icp/kiss_icp.py:43-75
+for the CLI — see SURVEY.md section 2 note). Here there is exactly one: a pure
+`step(state, frame) -> (state, result)` function whose whole body — deskew,
+double downsample, adaptive threshold, ICP, map update — traces into a single
+XLA program per static config, with the odometry state donated so updates happen
+in place on device.
+
+`KissICP` is a thin stateful convenience wrapper (numpy in/out) used by the
+pipeline driver and tools.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kiss_icp_tpu.config.schema import KISSConfig
+from kiss_icp_tpu.ops import hash_map, preprocess, registration, se3, threshold, voxel
+
+
+class OdometryState(NamedTuple):
+    """Everything that evolves frame to frame (a device pytree)."""
+
+    pose: jnp.ndarray  # (4, 4) float32 — world_T_body of the last scan
+    delta: jnp.ndarray  # (4, 4) float32 — body motion between the last two scans
+    threshold: threshold.ThresholdState
+    map: hash_map.VoxelMap
+
+
+class FrameResult(NamedTuple):
+    pose: jnp.ndarray  # (4, 4)
+    frame_points: jnp.ndarray  # (N, 3) deskewed input scan (padded)
+    frame_valid: jnp.ndarray  # (N,)
+    source_points: jnp.ndarray  # (S, 3) ICP source / keypoints (padded, body frame)
+    source_valid: jnp.ndarray  # (S,)
+    sigma: jnp.ndarray  # () adaptive threshold used this frame
+    num_iterations: jnp.ndarray  # () ICP iterations run
+    num_correspondences: jnp.ndarray  # () correspondences at convergence
+
+
+def map_config(config: KISSConfig) -> hash_map.MapConfig:
+    """Static map parameters derived from the runtime config."""
+    return hash_map.MapConfig(
+        voxel_size=float(config.mapping.voxel_size),
+        max_distance=float(config.data.max_range),
+        max_points_per_voxel=int(config.mapping.max_points_per_voxel),
+        capacity_log2=int(config.engine.map_capacity_log2),
+        probe_length=int(config.engine.probe_length),
+        group_capacity=int(config.engine.group_capacity),
+    )
+
+
+def init_state(config: KISSConfig) -> OdometryState:
+    """pose = delta = I, empty map, threshold seeded from initial_threshold
+    (reference kiss_icp.py:34-41, Threshold.cpp:30-36)."""
+    return OdometryState(
+        pose=se3.identity(),
+        delta=se3.identity(),
+        threshold=threshold.init_state(config.adaptive_threshold.initial_threshold),
+        map=hash_map.create_map(map_config(config)),
+    )
+
+
+def _sigma_for_frame(config: KISSConfig, state: OdometryState) -> jnp.ndarray:
+    """Adaptive sigma, or the fixed override when configured
+    (reference threshold.py:29-43)."""
+    fixed = config.adaptive_threshold.fixed_threshold
+    if fixed is not None:
+        return jnp.asarray(float(fixed), jnp.float32)
+    return threshold.compute_threshold(state.threshold)
+
+
+def register_frame(
+    config: KISSConfig,
+    state: OdometryState,
+    points: jnp.ndarray,
+    timestamps: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> Tuple[OdometryState, FrameResult]:
+    """One odometry step (reference KissICP.cpp:35-68 / kiss_icp.py:43-75).
+
+    Pure function of (state, scan); see module docstring. Trace/compile once per
+    static config, then every frame is one device dispatch.
+    """
+    mcfg = map_config(config)
+    vsize = float(config.mapping.voxel_size)
+
+    # 1. Motion-compensate with the constant-velocity model, crop range.
+    prep = preprocess.preprocess(
+        points,
+        timestamps,
+        valid,
+        state.delta,
+        max_range=float(config.data.max_range),
+        min_range=float(config.data.min_range),
+        deskew=bool(config.data.deskew),
+    )
+
+    # 2. Double voxel downsample (KissICP.cpp:70-75): half-voxel grid for the
+    #    map-update cloud, 1.5x grid for the ICP source.
+    frame_ds = voxel.voxel_downsample(
+        prep.points, prep.valid, voxel_size=vsize * 0.5,
+        capacity=int(config.engine.frame_capacity),
+    )
+    source = voxel.voxel_downsample(
+        frame_ds.points, frame_ds.valid, voxel_size=vsize * 1.5,
+        capacity=int(config.engine.source_capacity),
+    )
+
+    # 3.-5. Adaptive threshold, constant-velocity initial guess, robust ICP.
+    sigma = _sigma_for_frame(config, state)
+    initial_guess = state.pose @ state.delta
+    align = registration.align_points_to_map(
+        mcfg,
+        state.map,
+        source.points,
+        source.valid,
+        initial_guess,
+        3.0 * sigma,
+        sigma,
+        max_iterations=int(config.registration.max_num_iterations),
+        convergence=float(config.registration.convergence_criterion),
+    )
+    new_pose = align.pose
+
+    # 6.-7. Model deviation feeds the threshold estimator.
+    model_deviation = se3.inverse(initial_guess) @ new_pose
+    new_threshold = threshold.update_model_deviation(
+        state.threshold,
+        model_deviation,
+        max_range=float(config.data.max_range),
+        min_motion_th=float(config.adaptive_threshold.min_motion_th),
+    )
+
+    # 8. Merge the scan into the local map, then trim far voxels
+    #    (reference VoxelHashMap::Update, VoxelHashMap.cpp:83-95).
+    world_points = se3.transform(new_pose, frame_ds.points)
+    new_map, _ = hash_map.insert(mcfg, state.map, world_points, frame_ds.valid)
+    new_map = hash_map.trim(mcfg, new_map, new_pose[:3, 3])
+
+    # 9. Constant-velocity bookkeeping.
+    new_state = OdometryState(
+        pose=new_pose,
+        delta=se3.inverse(state.pose) @ new_pose,
+        threshold=new_threshold,
+        map=new_map,
+    )
+    result = FrameResult(
+        pose=new_pose,
+        frame_points=prep.points,
+        frame_valid=prep.valid,
+        source_points=source.points,
+        source_valid=source.valid,
+        sigma=sigma,
+        num_iterations=align.num_iterations,
+        num_correspondences=align.num_correspondences,
+    )
+    return new_state, result
+
+
+def make_step(config: KISSConfig) -> Callable[..., Tuple[OdometryState, FrameResult]]:
+    """Compile `register_frame` for a fixed config (state buffers donated)."""
+    fn = functools.partial(register_frame, config)
+    donate = (0,) if config.engine.donate_state else ()
+    return jax.jit(fn, donate_argnums=donate)
+
+
+class KissICP:
+    """Stateful convenience wrapper: numpy scans in, numpy poses out.
+
+    Equivalent role to the reference's KissICP objects (kiss_icp.py:33-80,
+    KissICP.hpp:56-96) but backed by the single jitted step above.
+    """
+
+    def __init__(self, config: KISSConfig):
+        self.config = config
+        self._step = make_step(config)
+        self.state = init_state(config)
+        self._capacity = int(config.engine.max_points_per_frame)
+
+    def _pad(
+        self, frame: np.ndarray, timestamps: Optional[np.ndarray]
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        n = frame.shape[0]
+        cap = self._capacity
+        if n > cap:
+            # Deterministic stride subsample; the voxel filter would drop most
+            # of the surplus anyway. (The reference never needs this: dynamic
+            # std::vector. Fixed shapes are the price of one XLA program.)
+            sel = np.linspace(0, n - 1, cap).astype(np.int64)
+            frame = frame[sel]
+            timestamps = timestamps[sel] if timestamps is not None and len(timestamps) else timestamps
+            n = cap
+        pts = np.zeros((cap, 3), np.float32)
+        pts[:n] = frame[:, :3]
+        ts = np.zeros((cap,), np.float32)
+        if timestamps is not None and len(timestamps) == n:
+            ts[:n] = timestamps
+        valid = np.zeros((cap,), bool)
+        valid[:n] = True
+        return pts, ts, valid
+
+    def register_frame(
+        self, frame: np.ndarray, timestamps: Optional[np.ndarray] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (deskewed frame, ICP source) as compact numpy arrays,
+        mirroring the reference API (kiss_icp.py:43-75)."""
+        pts, ts, valid = self._pad(np.asarray(frame), timestamps)
+        self.state, res = self._step(self.state, pts, ts, valid)
+        frame_out = np.asarray(res.frame_points)[np.asarray(res.frame_valid)]
+        source_out = np.asarray(res.source_points)[np.asarray(res.source_valid)]
+        self.last_result = res
+        return frame_out, source_out
+
+    @property
+    def last_pose(self) -> np.ndarray:
+        return np.asarray(self.state.pose)
+
+    @property
+    def last_delta(self) -> np.ndarray:
+        return np.asarray(self.state.delta)
+
+    def local_map_points(self) -> np.ndarray:
+        pts, mask = hash_map.extract_points(map_config(self.config), self.state.map)
+        return np.asarray(pts)[np.asarray(mask)]

@@ -1,0 +1,150 @@
+"""Robust point-to-point ICP (Gauss-Newton + Geman-McClure), fully on-device.
+
+TPU-native equivalent of the reference Registration
+(cpp/kiss_icp/core/Registration.cpp:52-167). Structural differences from the
+C++/TBB design, all deliberate:
+
+  * Data association (the reference's tbb::parallel_for NN search +
+    concurrent_vector, Registration.cpp:60-78) is the batched 27-voxel gather
+    `hash_map.query_nearest`; rejected pairs become zero weights instead of
+    being compacted away, so every iteration is one fixed-shape XLA program.
+  * The normal-equation reduction (tbb::parallel_reduce of (JTJ, JTr),
+    Registration.cpp:101-118) is a masked einsum — deterministic, and the exact
+    op that becomes a `jax.lax.psum` across devices when points are sharded
+    (SURVEY.md section 2.2, P3).
+  * The ICP loop (Registration.cpp:151-164) is a `lax.while_loop` with the same
+    early exit `|dx| < convergence_criterion`, so compile once, run to
+    convergence on-device.
+  * **Recentering for float32**: the reference solves in float64 with world-frame
+    lever arms `hat(source)` (Registration.cpp:84-87); at kilometer scale that
+    makes JTJ too ill-conditioned for float32. We build the linear system with
+    lever arms about the current sensor position `c` (source - c), solving for
+    the increment expressed at `c`: exp(dx) is conjugated back as
+    `T(c) @ exp(dx) @ T(-c)`. Identical fixed point in exact arithmetic,
+    well-conditioned in f32.
+
+Geman-McClure weight, exactly as the reference (Registration.cpp:95-98):
+    w(r2) = kernel_scale^2 / (kernel_scale + r2)^2.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from kiss_icp_tpu.ops import hash_map, se3
+
+
+class LinearSystem(NamedTuple):
+    jtj: jnp.ndarray  # (6, 6) float32
+    jtr: jnp.ndarray  # (6,) float32
+    num_correspondences: jnp.ndarray  # () int32
+
+
+def build_linear_system(
+    source: jnp.ndarray,
+    targets: jnp.ndarray,
+    weights_mask: jnp.ndarray,
+    kernel_scale: jnp.ndarray,
+    center: jnp.ndarray,
+) -> LinearSystem:
+    """Accumulate (JTJ, JTr) over one correspondence set (masked, recentered).
+
+    Equivalent of the reference BuildLinearSystem (Registration.cpp:80-121) with
+    J = [I3 | -hat(source - center)] and residual r = source - target. This
+    function is the per-shard payload of the distributed solver: shards psum its
+    outputs (6x6 + 6 + 1 scalars) and solve replicated.
+    """
+    r = source - targets  # (N, 3)
+    r2 = jnp.sum(r * r, axis=-1)  # (N,)
+    k = kernel_scale
+    w = (k * k) / jnp.square(k + r2)  # GM weight (Registration.cpp:95-98)
+    w = jnp.where(weights_mask, w, 0.0)
+
+    s = source - center[None, :]  # recentered lever arms
+    n = source.shape[0]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=source.dtype), (n, 3, 3))
+    jac = jnp.concatenate([eye, -se3.hat(s)], axis=-1)  # (N, 3, 6)
+
+    hi = jax.lax.Precision.HIGHEST  # bf16 MXU rounding would sink the GN solve
+    jtj = jnp.einsum("nij,n,nik->jk", jac, w, jac,
+                     preferred_element_type=jnp.float32, precision=hi)
+    jtr = jnp.einsum("nij,n,ni->j", jac, w, r,
+                     preferred_element_type=jnp.float32, precision=hi)
+    return LinearSystem(jtj, jtr, jnp.sum(weights_mask.astype(jnp.int32)))
+
+
+def solve_increment(ls: LinearSystem) -> jnp.ndarray:
+    """dx = solve(JTJ, -JTr) (reference uses LDLT, Registration.cpp:156).
+
+    Guarded: with no correspondences (zero system) the increment is zero, and a
+    relative Tikhonov floor keeps near-singular systems finite in f32.
+    """
+    scale = jnp.max(jnp.abs(jnp.diagonal(ls.jtj)))
+    eps = jnp.where(scale > 0, scale * 1e-7, 1.0)
+    jtj = ls.jtj + eps * jnp.eye(6, dtype=ls.jtj.dtype)
+    dx = jax.scipy.linalg.solve(jtj, -ls.jtr, assume_a="pos")
+    return jnp.where(ls.num_correspondences > 0, dx, jnp.zeros_like(dx))
+
+
+class AlignResult(NamedTuple):
+    pose: jnp.ndarray  # (4, 4) new world pose of the scan
+    num_iterations: jnp.ndarray  # () int32
+    num_correspondences: jnp.ndarray  # () int32 — at the last iteration
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_iterations", "convergence"))
+def align_points_to_map(
+    cfg: hash_map.MapConfig,
+    m: hash_map.VoxelMap,
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    initial_guess: jnp.ndarray,
+    max_distance: jnp.ndarray,
+    kernel_scale: jnp.ndarray,
+    *,
+    max_iterations: int,
+    convergence: float,
+) -> AlignResult:
+    """Register one (body-frame) source scan against the local map.
+
+    Mirrors Registration::AlignPointsToMap (Registration.cpp:138-167): empty map
+    returns the guess; otherwise iterate NN association + robust GN until
+    `|dx| < convergence` or `max_iterations`.
+    """
+    guess = initial_guess.astype(jnp.float32)
+    src0 = se3.transform(guess, points)
+    center = guess[:3, 3]
+
+    def cond(carry):
+        _, _, it, done = carry
+        return (it < max_iterations) & ~done
+
+    def body(carry):
+        src, t_icp, it, _ = carry
+        q = hash_map.query_nearest(cfg, m, src, valid)
+        corr = q.found & (q.distances < max_distance)
+        ls = build_linear_system(src, q.neighbors, corr, kernel_scale, center)
+        dx = solve_increment(ls)
+        est_local = se3.se3_exp(dx)
+        # Conjugate the recentered increment back to the world frame.
+        est = est_local.at[:3, 3].add(center - est_local[:3, :3] @ center)
+        src = se3.transform(est, src)
+        t_icp = est @ t_icp
+        done = jnp.linalg.norm(dx) < convergence
+        return src, t_icp, it + 1, done
+
+    _, t_icp, iters, _ = jax.lax.while_loop(
+        cond, body, (src0, se3.identity(), jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    )
+
+    # Final correspondence count for diagnostics (one extra association).
+    q = hash_map.query_nearest(cfg, m, se3.transform(t_icp @ guess, points), valid)
+    n_corr = jnp.sum((q.found & (q.distances < max_distance)).astype(jnp.int32))
+
+    empty = hash_map.is_empty(m)
+    pose = jnp.where(empty, guess, t_icp @ guess)
+    return AlignResult(pose, jnp.where(empty, 0, iters), n_corr)

@@ -13,6 +13,7 @@ Conventions (matching Sophus so downstream parity holds):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # Below this angle (radians) we switch to Taylor series for the sinc-like terms.
@@ -191,10 +192,17 @@ def inverse(pose: jnp.ndarray) -> jnp.ndarray:
 
 
 def transform(pose: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
-    """Apply (4, 4) pose to (..., 3) points."""
+    """Apply (4, 4) pose to (..., 3) points.
+
+    precision=HIGHEST is load-bearing: the TPU default would round the matmul
+    through bfloat16, perturbing far-range coordinates by decimeters.
+    """
     r = pose[..., :3, :3]
     t = pose[..., :3, 3]
-    return points @ jnp.swapaxes(r, -1, -2) + t
+    return (
+        jnp.matmul(points, jnp.swapaxes(r, -1, -2), precision=jax.lax.Precision.HIGHEST)
+        + t
+    )
 
 
 def exp_scaled_batch(twist: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:

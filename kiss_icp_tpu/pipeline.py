@@ -1,0 +1,216 @@
+"""OdometryPipeline: dataset loop, timing, evaluation, result writing.
+
+Equivalent of the reference driver (python/kiss_icp/pipeline.py:41-217): iterate
+the dataset, time `register_frame`, collect poses, evaluate KITTI seq error +
+ATE when GT is available, and write poses (.npy + KITTI text + TUM text),
+config, and a metrics log into a timestamped results dir with a `latest`
+symlink.
+
+TPU-specific notes: the first frame includes XLA compilation, so FPS statistics
+are reported both with and without warmup frames; per-frame host timing brackets
+the device step including the host->device transfer, matching what a user
+experiences.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from kiss_icp_tpu import metrics as metrics_mod
+from kiss_icp_tpu.config.parser import load_config, write_config
+from kiss_icp_tpu.odometry import KissICP
+from kiss_icp_tpu.tools.pipeline_results import PipelineResults
+from kiss_icp_tpu.tools.progress_bar import get_progress_bar
+
+
+class OdometryPipeline:
+    def __init__(
+        self,
+        dataset,
+        config: Optional[Path] = None,
+        visualizer=None,
+        *,
+        max_range: Optional[float] = None,
+        deskew: Optional[bool] = None,
+        n_scans: int = -1,
+        jump: int = 0,
+    ):
+        self._dataset = dataset
+        self.config = (
+            config
+            if not isinstance(config, (str, Path, type(None)))
+            else load_config(config, max_range=max_range, deskew=deskew)
+        )
+        self.odometry = KissICP(self.config)
+
+        # Frame windowing (reference pipeline.py:50-56).
+        self._n_scans = len(dataset) - jump if n_scans == -1 else min(len(dataset) - jump, n_scans)
+        self._first = jump
+        self._last = self._first + self._n_scans
+
+        self.poses = np.zeros((self._n_scans, 4, 4))
+        self.exec_times = np.zeros(self._n_scans)
+        self.results = PipelineResults()
+
+        if visualizer is None:
+            from kiss_icp_tpu.tools.visualizer import StubVisualizer
+
+            visualizer = StubVisualizer()
+        self.visualizer = visualizer
+
+        self.gt_poses = getattr(dataset, "gt_poses", None)
+        if self.gt_poses is not None:
+            self.gt_poses = np.asarray(self.gt_poses)[self._first : self._last]
+        self.dataset_name = type(dataset).__name__
+        self.dataset_sequence = getattr(dataset, "sequence_id", Path(str(getattr(dataset, "data_dir", ""))).name)
+
+    # --- Public API ------------------------------------------------------
+    def run(self) -> PipelineResults:
+        self._run_pipeline()
+        self._run_evaluation()
+        self._create_output_dir()
+        self._write_result_poses()
+        self._write_gt_poses()
+        self._write_cfg()
+        self._write_log()
+        return self.results
+
+    # --- Core loop (reference pipeline.py:97-113) ------------------------
+    def _unpack(self, item):
+        if isinstance(item, tuple):
+            frame, timestamps = item
+        else:
+            frame, timestamps = item, np.array([])
+        return np.asarray(frame), np.asarray(timestamps)
+
+    def _run_pipeline(self):
+        for idx in get_progress_bar(self._first, self._last, "Odometry"):
+            frame, timestamps = self._unpack(self._dataset[idx])
+            t0 = time.perf_counter_ns()
+            deskewed, source = self.odometry.register_frame(frame, timestamps)
+            t1 = time.perf_counter_ns()
+            i = idx - self._first
+            self.poses[i] = self.odometry.last_pose
+            self.exec_times[i] = t1 - t0
+            self.visualizer.update(
+                deskewed, source, self.odometry, self.odometry.last_pose
+            )
+
+    # --- Evaluation (reference pipeline.py:171-192) -----------------------
+    def _fps(self, skip_warmup: int = 0) -> float:
+        times = self.exec_times[skip_warmup:]
+        total = float(np.sum(times)) * 1e-9
+        return float(len(times) / total) if total > 0 else 0.0
+
+    def _run_evaluation(self):
+        if self.gt_poses is not None and len(self.gt_poses) == len(self.poses):
+            avg_tra, avg_rot = metrics_mod.seq_error(self.gt_poses, self.poses)
+            ate_rot, ate_trans = metrics_mod.absolute_trajectory_error(
+                self.gt_poses, self.poses
+            )
+            self.results.append(
+                desc="Average Translation Error", units="%", value=avg_tra
+            )
+            self.results.append(
+                desc="Average Rotational Error", units="deg/m", value=avg_rot
+            )
+            self.results.append(
+                desc="Absolute Trajectory Error (ATE)", units="m", value=ate_trans
+            )
+            self.results.append(
+                desc="Absolute Rotational Error (ARE)", units="rad", value=ate_rot
+            )
+        fps = self._fps()
+        fps_hot = self._fps(skip_warmup=min(2, max(0, len(self.exec_times) - 1)))
+        self.results.append(desc="Average Frequency", units="Hz", value=fps, trunc=True)
+        self.results.append(
+            desc="Average Runtime", units="ms", value=1000.0 / fps if fps > 0 else 0.0,
+            trunc=True,
+        )
+        self.results.append(
+            desc="Average Frequency (no warmup)", units="Hz", value=fps_hot, trunc=True
+        )
+
+    # --- Output writing (reference pipeline.py:115-169,194-217) -----------
+    @staticmethod
+    def save_poses_kitti_format(filename, poses: np.ndarray):
+        kitti = np.asarray(poses)[:, :3].reshape(len(poses), -1)
+        np.savetxt(f"{filename}_kitti.txt", kitti)
+
+    @staticmethod
+    def save_poses_tum_format(filename, poses: np.ndarray, timestamps=None):
+        from scipy.spatial.transform import Rotation
+
+        poses = np.asarray(poses)
+        if timestamps is None:
+            timestamps = np.arange(len(poses), dtype=np.float64)
+        quats = Rotation.from_matrix(poses[:, :3, :3]).as_quat()  # x y z w
+        with open(f"{filename}_tum.txt", "w") as f:
+            for ts, pose, q in zip(timestamps, poses, quats):
+                t = pose[:3, 3]
+                f.write(
+                    f"{float(ts)} {t[0]} {t[1]} {t[2]} {q[0]} {q[1]} {q[2]} {q[3]}\n"
+                )
+
+    def _calibrate(self, poses: np.ndarray) -> np.ndarray:
+        if hasattr(self._dataset, "apply_calibration"):
+            return self._dataset.apply_calibration(poses)
+        return poses
+
+    def _timestamps(self):
+        if hasattr(self._dataset, "get_frames_timestamps"):
+            try:
+                return np.asarray(self._dataset.get_frames_timestamps()).ravel()[
+                    self._first : self._last
+                ]
+            except Exception:
+                return None
+        return None
+
+    def _write_result_poses(self):
+        np.save(self.results_dir / f"{self.dataset_sequence}_poses.npy", self.poses)
+        calibrated = self._calibrate(self.poses)
+        stem = self.results_dir / str(self.dataset_sequence)
+        self.save_poses_kitti_format(stem, calibrated)
+        self.save_poses_tum_format(stem, calibrated, self._timestamps())
+
+    def _write_gt_poses(self):
+        if self.gt_poses is None:
+            return
+        np.save(self.results_dir / f"{self.dataset_sequence}_gt.npy", self.gt_poses)
+        calibrated = self._calibrate(self.gt_poses)
+        stem = self.results_dir / f"{self.dataset_sequence}_gt"
+        self.save_poses_kitti_format(stem, calibrated)
+        self.save_poses_tum_format(stem, calibrated, self._timestamps())
+
+    def _write_cfg(self):
+        write_config(self.config, self.results_dir / "config.yml")
+
+    def _write_log(self):
+        self.results.log_to_file(
+            self.results_dir / "result_metrics.log",
+            f"KISS-ICP-TPU results: {self.dataset_name} {self.dataset_sequence}",
+        )
+
+    def _create_output_dir(self):
+        """results/<timestamp>/ with a `latest` symlink (pipeline.py:204-217)."""
+        stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+        base = Path(self.config.out_dir).absolute()
+        self.results_dir = base / stamp
+        latest = base / "latest"
+        self.results_dir.mkdir(parents=True, exist_ok=True)
+        try:
+            if latest.is_symlink() or latest.exists():
+                latest.unlink()
+            os.symlink(self.results_dir, latest)
+        except OSError:
+            pass
+
+    def print_(self):
+        self.results.print_()
