@@ -1,0 +1,105 @@
+"""Benchmark: single-chip odometry throughput (frames/s) on synthetic LiDAR.
+
+Runs the full register_frame pipeline (deskew, double downsample, adaptive
+threshold, ICP, map update) on procedurally generated 64-beam scans sized like
+KITTI Velodyne frames, on whatever accelerator JAX finds (one TPU chip under
+the driver). Prints ONE JSON line:
+
+    {"metric": "odometry_frames_per_s_per_chip", "value": N, "unit": "frames/s",
+     "vs_baseline": N / 100.0}
+
+vs_baseline is measured against the BASELINE.md target of >= 100 frames/s/chip.
+Extra diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_kiss"))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+TARGET_FPS = 100.0  # BASELINE.md: >= 100 frames/s per chip
+N_FRAMES = 60
+N_WARMUP = 5
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    import jax
+
+    from kiss_icp_tpu.config.parser import load_config
+    from kiss_icp_tpu.datasets.synthetic import SyntheticDataset
+    from kiss_icp_tpu.odometry import KissICP
+    from kiss_icp_tpu import metrics
+
+    log(f"devices: {jax.devices()}")
+
+    cfg = load_config(None)  # reference defaults: 100 m range, 1 m voxels
+    cfg.data.min_range = 1.0
+    cfg.engine.max_points_per_frame = 65536
+    cfg.engine.frame_capacity = 65536
+    cfg.engine.source_capacity = 8192
+    cfg.engine.map_capacity_log2 = 19
+
+    log("generating synthetic scans...")
+    ds = SyntheticDataset(sequence=0, n_scans=N_FRAMES, speed=1.0)
+    frames = [ds[i] for i in range(N_FRAMES)]
+    sizes = [len(f[0]) for f in frames]
+    log(f"scan sizes: min={min(sizes)} max={max(sizes)}")
+
+    icp = KissICP(cfg)
+
+    log("warmup / compile...")
+    t0 = time.perf_counter()
+    for i in range(N_WARMUP):
+        icp.register_frame(*frames[i])
+    log(f"warmup took {time.perf_counter() - t0:.1f}s")
+
+    log("timing hot loop...")
+    times = []
+    for i in range(N_WARMUP, N_FRAMES):
+        pts, ts = frames[i]
+        t0 = time.perf_counter_ns()
+        icp.register_frame(pts, ts)
+        times.append((time.perf_counter_ns() - t0) * 1e-9)
+    times = np.asarray(times)
+    fps = 1.0 / float(np.mean(times))
+    log(
+        f"per-frame: mean={np.mean(times)*1e3:.2f}ms p50={np.percentile(times,50)*1e3:.2f}ms "
+        f"p95={np.percentile(times,95)*1e3:.2f}ms -> {fps:.1f} frames/s"
+    )
+
+    # Accuracy sanity on the same run (not the headline metric).
+    est = np.stack([icp.last_pose])  # final pose only, full eval below
+    gt = ds.gt_poses
+    # Recompute trajectory by replaying recorded poses is unnecessary: do a
+    # fresh lightweight error check on final drift instead.
+    drift = np.linalg.norm(icp.last_pose[:3, 3] - gt[N_FRAMES - 1][:3, 3])
+    path_len = float(np.sum(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1)))
+    log(f"final drift: {drift:.3f} m over {path_len:.1f} m path "
+        f"({100.0 * drift / max(path_len, 1e-9):.2f}%)")
+
+    print(
+        json.dumps(
+            {
+                "metric": "odometry_frames_per_s_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / TARGET_FPS, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,140 @@
+"""Multi-device execution: batched multi-sequence odometry over a device mesh.
+
+The reference has no distributed execution at all (SURVEY.md section 2.2); its
+only parallelism is intra-frame TBB threading. The TPU-native scale-out plan:
+
+  * **Sequence axis ("seq")** — many independent sequences advance in lockstep,
+    one `vmap`-ed odometry step per frame; the batch axis is sharded across
+    devices (pure data parallelism over ICI/DCN; no collectives in the hot
+    path). This is the "Batched multi-sequence odometry" scenario of
+    BASELINE.json (all 11 KITTI sequences in parallel on a pod slice).
+  * **Point axis ("pts")** — within each frame, the padded point buffers are
+    sharded; the per-point (JTJ, JTr) contraction in
+    `registration.build_linear_system` becomes partial sums that XLA's SPMD
+    partitioner combines with a psum over the "pts" axis (the TPU equivalent of
+    the reference's tbb::parallel_reduce, Registration.cpp:101-118). The voxel
+    map is replicated along "pts", so NN gathers stay device-local.
+
+Everything is expressed with `jax.sharding.NamedSharding` annotations on one
+jitted program — XLA inserts the collectives. Tested on a virtual 8-device CPU
+mesh (tests/conftest.py) and dry-run compiled by `__graft_entry__.py`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from kiss_icp_tpu.config.schema import KISSConfig
+from kiss_icp_tpu import odometry
+
+SEQ_AXIS = "seq"
+PTS_AXIS = "pts"
+
+
+def make_mesh(n_devices: Optional[int] = None, pts_shards: Optional[int] = None) -> Mesh:
+    """A ("seq", "pts") mesh over the available devices.
+
+    The "pts" extent defaults to 1 (pure sequence parallelism) unless asked
+    for; sequence parallelism is collective-free, so it gets the larger axis.
+    """
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.asarray(devices[:n_devices])
+    if pts_shards is None:
+        pts_shards = 1
+    assert n_devices % pts_shards == 0, (n_devices, pts_shards)
+    grid = devices.reshape(n_devices // pts_shards, pts_shards)
+    return Mesh(grid, (SEQ_AXIS, PTS_AXIS))
+
+
+def init_batched_state(config: KISSConfig, batch: int) -> odometry.OdometryState:
+    """Per-sequence odometry states stacked on a leading batch axis."""
+    one = odometry.init_state(config)
+    return jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape).copy(), one)
+
+
+def batched_state_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding of a batched OdometryState: batch axis over "seq"; map contents
+    replicated over "pts" so NN gathers stay device-local. Every state leaf has
+    the batch axis leading, so one sharding serves the whole pytree."""
+    return NamedSharding(mesh, P(SEQ_AXIS))
+
+
+def make_batched_step(config: KISSConfig, mesh: Mesh):
+    """Compile one lockstep frame-advance for B sequences on the mesh.
+
+    Returns `step(state, points (B,N,3), timestamps (B,N), valid (B,N))
+    -> (state, FrameResult)` with inputs sharded (seq, pts) and state sharded
+    over seq. B must be divisible by the mesh's "seq" extent and N by its
+    "pts" extent.
+    """
+    vstep = jax.vmap(functools.partial(odometry.register_frame, config))
+
+    state_sh = NamedSharding(mesh, P(SEQ_AXIS))
+    points_sh = NamedSharding(mesh, P(SEQ_AXIS, PTS_AXIS))
+    seq_sh = NamedSharding(mesh, P(SEQ_AXIS))
+
+    def _constrain(state, points, timestamps, valid):
+        state = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, state_sh), state
+        )
+        points = jax.lax.with_sharding_constraint(points, points_sh)
+        timestamps = jax.lax.with_sharding_constraint(timestamps, points_sh)
+        valid = jax.lax.with_sharding_constraint(valid, points_sh)
+        new_state, result = vstep(state, points, timestamps, valid)
+        new_state = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, state_sh), new_state
+        )
+        return new_state, result
+
+    return jax.jit(
+        _constrain,
+        in_shardings=(state_sh, points_sh, points_sh, points_sh),
+        out_shardings=(state_sh, seq_sh),
+        donate_argnums=(0,) if config.engine.donate_state else (),
+    )
+
+
+class BatchedOdometry:
+    """Host-side convenience wrapper: run B sequences in lockstep.
+
+    numpy in/out like `odometry.KissICP`, but one device dispatch advances all
+    sequences one frame.
+    """
+
+    def __init__(self, config: KISSConfig, batch: int, mesh: Optional[Mesh] = None):
+        self.config = config
+        self.batch = batch
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self._step = make_batched_step(config, self.mesh)
+        self.state = jax.device_put(
+            init_batched_state(config, batch), NamedSharding(self.mesh, P(SEQ_AXIS))
+        )
+        self._cap = int(config.engine.max_points_per_frame)
+
+    def register_frames(self, frames, timestamps=None) -> np.ndarray:
+        """frames: list of B (N_i, 3) scans. Returns (B, 4, 4) poses."""
+        assert len(frames) == self.batch
+        pts = np.zeros((self.batch, self._cap, 3), np.float32)
+        ts = np.zeros((self.batch, self._cap), np.float32)
+        valid = np.zeros((self.batch, self._cap), bool)
+        for i, f in enumerate(frames):
+            f = np.asarray(f)[: self._cap]
+            n = len(f)
+            pts[i, :n] = f[:, :3]
+            valid[i, :n] = True
+            if timestamps is not None and timestamps[i] is not None and len(timestamps[i]) >= n:
+                ts[i, :n] = np.asarray(timestamps[i])[:n]
+        self.state, result = self._step(self.state, pts, ts, valid)
+        return np.asarray(result.pose)
+
+    @property
+    def poses(self) -> np.ndarray:
+        return np.asarray(self.state.pose)

@@ -1,0 +1,96 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (conftest.py)."""
+
+import jax
+import numpy as np
+
+from kiss_icp_tpu.config.schema import KISSConfig
+from kiss_icp_tpu import odometry
+from kiss_icp_tpu.parallel import batch as pbatch
+
+
+def _tiny_config():
+    cfg = KISSConfig()
+    cfg.data.max_range = 50.0
+    cfg.data.min_range = 1.0
+    cfg.mapping.voxel_size = 0.5
+    cfg.engine.max_points_per_frame = 512
+    cfg.engine.frame_capacity = 512
+    cfg.engine.source_capacity = 128
+    cfg.engine.map_capacity_log2 = 10
+    cfg.engine.probe_length = 8
+    cfg.engine.group_capacity = 8
+    cfg.engine.donate_state = False
+    cfg.registration.max_num_iterations = 10
+    return cfg
+
+
+def _scans(b, n, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-30, 30, (b, n, 3)).astype(np.float32)
+    ts = np.tile(np.linspace(0, 1, n, dtype=np.float32), (b, 1))
+    valid = np.ones((b, n), bool)
+    return pts, ts, valid
+
+
+def test_mesh_creation():
+    mesh = pbatch.make_mesh(8, pts_shards=2)
+    assert mesh.shape == {"seq": 4, "pts": 2}
+
+
+def test_batched_step_runs_sharded():
+    assert len(jax.devices()) == 8, "conftest should provide 8 virtual devices"
+    mesh = pbatch.make_mesh(8, pts_shards=2)
+    cfg = _tiny_config()
+    b, n = 8, cfg.engine.max_points_per_frame
+    step = pbatch.make_batched_step(cfg, mesh)
+    state = jax.device_put(
+        pbatch.init_batched_state(cfg, b), pbatch.batched_state_sharding(mesh)
+    )
+    pts, ts, valid = _scans(b, n)
+    state, result = step(state, pts, ts, valid)
+    poses = np.asarray(result.pose)
+    assert poses.shape == (b, 4, 4)
+    assert np.all(np.isfinite(poses))
+    # First frame seeds each sequence's map at identity.
+    np.testing.assert_allclose(poses, np.tile(np.eye(4), (b, 1, 1)), atol=1e-5)
+
+
+def test_batched_matches_single_sequence():
+    """Sharded batched execution must agree with the single-sequence step."""
+    cfg = _tiny_config()
+    mesh = pbatch.make_mesh(8, pts_shards=2)
+    b, n = 8, cfg.engine.max_points_per_frame
+    step = pbatch.make_batched_step(cfg, mesh)
+    bstate = jax.device_put(
+        pbatch.init_batched_state(cfg, b), pbatch.batched_state_sharding(mesh)
+    )
+
+    # Two frames: seed + a slightly shifted rescan per sequence.
+    pts0, ts0, valid0 = _scans(b, n, seed=1)
+    pts1 = pts0 + np.array([0.3, 0.0, 0.0], np.float32)
+
+    bstate, _ = step(bstate, pts0, ts0, valid0)
+    bstate, bres = step(bstate, pts1, ts0, valid0)
+
+    sstate = odometry.init_state(cfg)
+    sstep = jax.jit(lambda s, p, t, v: odometry.register_frame(cfg, s, p, t, v))
+    sstate, _ = sstep(sstate, pts0[3], ts0[3], valid0[3])
+    sstate, sres = sstep(sstate, pts1[3], ts0[3], valid0[3])
+
+    np.testing.assert_allclose(
+        np.asarray(bres.pose)[3], np.asarray(sres.pose), atol=5e-4
+    )
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out_state, result = jax.jit(fn)(*args)
+    assert np.all(np.isfinite(np.asarray(result.pose)))
+
+
+def test_graft_entry_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

@@ -1,0 +1,121 @@
+"""End-to-end pipeline + CLI tests on a synthetic KITTI tree."""
+
+import numpy as np
+import pytest
+
+from kiss_icp_tpu.config.schema import KISSConfig
+from kiss_icp_tpu.datasets.synthetic import SyntheticDataset
+from kiss_icp_tpu.pipeline import OdometryPipeline
+
+
+def _small_config(tmp_path):
+    cfg = KISSConfig()
+    cfg.out_dir = str(tmp_path / "results")
+    cfg.data.max_range = 50.0
+    cfg.data.min_range = 1.0
+    cfg.mapping.voxel_size = 0.5
+    cfg.engine.max_points_per_frame = 8192
+    cfg.engine.frame_capacity = 8192
+    cfg.engine.source_capacity = 2048
+    cfg.engine.map_capacity_log2 = 16
+    cfg.registration.max_num_iterations = 30
+    return cfg
+
+
+def test_pipeline_end_to_end(tmp_path):
+    ds = SyntheticDataset(sequence=1, n_scans=6, n_beams=32, n_azimuth=256,
+                          max_range=50.0)
+    pipeline = OdometryPipeline(ds, config=_small_config(tmp_path))
+    results = pipeline.run()
+
+    d = results.as_dict()
+    assert "Average Frequency" in d
+    assert "Average Translation Error" in d  # GT available
+    # Trajectory < 100 m so the KITTI metric has no segments -> 0; ATE real.
+    assert np.isfinite(d["Absolute Trajectory Error (ATE)"])
+    assert d["Absolute Trajectory Error (ATE)"] < 1.0
+
+    # Output files written
+    out = pipeline.results_dir
+    seq = ds.sequence_id
+    assert (out / f"{seq}_poses.npy").exists()
+    assert (out / f"{seq}_kitti.txt").exists()
+    assert (out / f"{seq}_tum.txt").exists()
+    assert (out / f"{seq}_gt.npy").exists()
+    assert (out / "config.yml").exists()
+    assert (out / "result_metrics.log").exists()
+    # latest symlink points at the run dir
+    assert (out.parent / "latest").resolve() == out.resolve()
+
+    # KITTI text format: N rows x 12 cols
+    kitti = np.loadtxt(out / f"{seq}_kitti.txt")
+    assert kitti.shape == (6, 12)
+    # TUM text format: N rows x 8 cols
+    tum = np.loadtxt(out / f"{seq}_tum.txt")
+    assert tum.shape == (6, 8)
+
+
+def test_pipeline_n_scans_and_jump(tmp_path):
+    ds = SyntheticDataset(sequence=2, n_scans=8, n_beams=16, n_azimuth=128)
+    pipeline = OdometryPipeline(
+        ds, config=_small_config(tmp_path), n_scans=3, jump=2
+    )
+    pipeline.run()
+    assert pipeline.poses.shape == (3, 4, 4)
+    assert len(pipeline.gt_poses) == 3
+
+
+def test_cli_requires_data():
+    from kiss_icp_tpu.tools.cmd import main
+
+    assert main([]) == 2
+
+
+def test_cli_sequence_validation(tmp_path):
+    from kiss_icp_tpu.tools.cmd import main
+
+    assert main([str(tmp_path), "--dataloader", "kitti"]) == 2  # no --sequence
+    assert main([str(tmp_path), "--dataloader", "rosbag", "--jump", "5"]) == 2
+
+
+def test_cli_version(capsys):
+    from kiss_icp_tpu.tools.cmd import main
+
+    with pytest.raises(SystemExit) as exc:
+        main(["--version"])
+    assert exc.value.code == 0
+
+
+def test_cli_full_run_on_generic_dir(tmp_path, monkeypatch):
+    """Drive the CLI end-to-end over a directory of .bin scans."""
+    from kiss_icp_tpu.tools.cmd import main
+
+    rng = np.random.default_rng(0)
+    data = tmp_path / "scans"
+    data.mkdir()
+    base = rng.uniform(-30, 30, (4000, 4)).astype(np.float32)
+    for i in range(3):
+        scan = base.copy()
+        scan[:, 0] += 0.5 * i
+        scan.tofile(data / f"{i:04d}.bin")
+
+    import yaml
+
+    cfg_file = tmp_path / "cfg.yml"
+    cfg = {
+        "out_dir": str(tmp_path / "results"),
+        "data": {"max_range": 60.0, "min_range": 1.0},
+        "mapping": {"voxel_size": 0.5},
+        "engine": {
+            "max_points_per_frame": 4096,
+            "frame_capacity": 4096,
+            "source_capacity": 1024,
+            "map_capacity_log2": 15,
+        },
+        "registration": {"max_num_iterations": 20},
+    }
+    cfg_file.write_text(yaml.safe_dump(cfg))
+
+    monkeypatch.chdir(tmp_path)
+    assert main([str(data), "--config", str(cfg_file)]) == 0
+    assert (tmp_path / "results" / "latest").exists()
