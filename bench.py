@@ -61,21 +61,26 @@ def main() -> int:
     log("warmup / compile...")
     t0 = time.perf_counter()
     for i in range(N_WARMUP):
-        icp.register_frame(*frames[i])
+        icp.register_frame_lazy(*frames[i])
+        _ = icp.last_pose
     log(f"warmup took {time.perf_counter() - t0:.1f}s")
 
-    log("timing hot loop...")
+    log("timing hot loop (streaming, per-frame pose sync)...")
     times = []
+    iters = []
     for i in range(N_WARMUP, N_FRAMES):
         pts, ts = frames[i]
         t0 = time.perf_counter_ns()
-        icp.register_frame(pts, ts)
+        icp.register_frame_lazy(pts, ts)
+        _ = icp.last_pose  # sync on the 4x4 pose only
         times.append((time.perf_counter_ns() - t0) * 1e-9)
+        iters.append(int(icp.last_result.num_iterations))
     times = np.asarray(times)
     fps = 1.0 / float(np.mean(times))
     log(
         f"per-frame: mean={np.mean(times)*1e3:.2f}ms p50={np.percentile(times,50)*1e3:.2f}ms "
-        f"p95={np.percentile(times,95)*1e3:.2f}ms -> {fps:.1f} frames/s"
+        f"p95={np.percentile(times,95)*1e3:.2f}ms -> {fps:.1f} frames/s; "
+        f"icp iters p50={np.percentile(iters,50):.0f} p95={np.percentile(iters,95):.0f}"
     )
 
     # Accuracy sanity on the same run (not the headline metric).

@@ -79,40 +79,105 @@ def _terrain_height(x: np.ndarray, y: np.ndarray) -> np.ndarray:
         # toward zero motion by ~half the ground mass.
         + 0.08 * np.sin(0.9 * x) * np.sin(0.83 * y + 0.5)
         + 0.05 * np.cos(1.7 * x + 0.3) * np.sin(1.3 * y)
+        + 0.12 * np.sin(0.45 * x + 0.7) * np.cos(0.4 * y)
+        + 0.06 * np.sin(2.2 * x + 1.1) * np.cos(1.9 * y + 0.4)
     )
 
 
-def _make_world(rng: np.random.Generator, trajectory_xy: np.ndarray,
-                n_buildings: int, n_posts: int):
-    """(lo, hi) axis-aligned boxes: buildings offset from the trajectory plus
-    small posts (street furniture) close to the path, so unambiguous features
-    exist within sensor range along the whole drive."""
+def _make_world(rng: np.random.Generator, trajectory_xy: np.ndarray):
+    """Stratified scattered-structure world: every stretch of the path gets
+    buildings on both sides plus poles and car-sized clutter, so there is no
+    featureless stretch anywhere along the drive.
+
+    Random (non-stratified) anchoring leaves occasional 10-20 m gaps with only
+    ground in view; there, scan ground rings can alias onto the previous
+    frame's rings one spacing over and launch the constant-velocity feedback
+    into a runaway — a real point-to-point ICP failure mode that real urban
+    data never triggers because structure is continuous. The float64 oracle of
+    the reference algorithm (tests/oracle.py) is the tracking yardstick for
+    these scenes."""
+    deltas = np.diff(trajectory_xy, axis=0)
+    seg_len = np.linalg.norm(deltas, axis=1)
+    arc = np.concatenate([[0.0], np.cumsum(seg_len)])
+    total = float(arc[-1])
+
+    def frame_at(s):
+        """(position, unit tangent, unit left-normal) at arc length s."""
+        if len(deltas) == 0 or total < 1e-9:
+            return trajectory_xy[0], np.array([1.0, 0.0]), np.array([0.0, 1.0])
+        sc = float(np.clip(s, 0.0, total - 1e-9))
+        i = int(np.clip(np.searchsorted(arc, sc) - 1, 0, len(deltas) - 1))
+        t = deltas[i] / max(seg_len[i], 1e-9)
+        frac = (sc - arc[i]) / max(seg_len[i], 1e-9)
+        pos = trajectory_xy[i] + frac * deltas[i] + (s - sc) * t
+        return pos, t, np.array([-t[1], t[0]])
+
     boxes = []
-    n_anchor = len(trajectory_xy)
-    for _ in range(n_buildings):
-        anchor = trajectory_xy[rng.integers(0, n_anchor)]
-        c = anchor + rng.uniform(-60.0, 60.0, 2)
-        half = rng.uniform(4.0, 14.0, 2)
-        h = rng.uniform(4.0, 18.0)
+
+    def _box(c, half, h, sink):
         z0 = _terrain_height(np.array([c[0]]), np.array([c[1]]))[0]
         boxes.append(
             (
-                np.array([c[0] - half[0], c[1] - half[1], z0 - 1.0]),
+                np.array([c[0] - half[0], c[1] - half[1], z0 - sink]),
                 np.array([c[0] + half[0], c[1] + half[1], z0 + h]),
             )
         )
-    for _ in range(n_posts):
-        anchor = trajectory_xy[rng.integers(0, n_anchor)]
-        c = anchor + rng.uniform(-18.0, 18.0, 2)
-        half = rng.uniform(0.15, 0.5, 2)
-        h = rng.uniform(1.0, 4.0)
-        z0 = _terrain_height(np.array([c[0]]), np.array([c[1]]))[0]
-        boxes.append(
-            (
-                np.array([c[0] - half[0], c[1] - half[1], z0 - 0.5]),
-                np.array([c[0] + half[0], c[1] + half[1], z0 + h]),
-            )
-        )
+
+    # Buildings: one per side per ~9 m of path (padded 40 m past both ends),
+    # 12-30 m lateral, jittered along-path so facades overlap into broken
+    # rows with corners everywhere.
+    s = -40.0
+    while s < total + 40.0:
+        for side in (-1.0, 1.0):
+            pos, tang, norm = frame_at(s + rng.uniform(-3.0, 3.0))
+            lateral = rng.uniform(8.0, 20.0)
+            half = rng.uniform(4.0, 10.0, 2)
+            c = pos + side * (lateral + float(np.max(half))) * norm
+            _box(c, half, rng.uniform(4.0, 18.0), sink=1.0)
+        s += 6.0
+
+    # Poles every ~5 m, alternating sides, 4-8 m lateral.
+    s, side = rng.uniform(0.0, 5.0), 1.0
+    while s < total:
+        pos, tang, norm = frame_at(s)
+        c = pos + side * rng.uniform(4.0, 8.0) * norm
+        _box(c, rng.uniform(0.1, 0.3, 2), rng.uniform(2.5, 5.0), sink=0.5)
+        side = -side
+        s += rng.uniform(3.0, 5.0)
+
+    # Parked cars / bushes every ~7 m, random side, 3-6 m lateral.
+    s = rng.uniform(0.0, 7.0)
+    while s < total:
+        pos, tang, norm = frame_at(s)
+        side = rng.choice([-1.0, 1.0])
+        c = pos + side * rng.uniform(3.0, 6.0) * norm
+        ext = np.abs(tang) * rng.uniform(1.0, 2.4) + np.abs(norm) * rng.uniform(0.7, 1.1)
+        _box(c, ext, rng.uniform(1.2, 1.9), sink=0.2)
+        s += rng.uniform(4.0, 6.0)
+
+    # Curbs: segmented low walls at +-3.5 m lateral, and verge clutter (grass
+    # tufts / curb debris) every 1-2 m at 2.5-8 m lateral. These break the
+    # coherence of the scan's ground rings exactly in the radius band where
+    # ring spacing matches the per-frame motion — on smooth open ground there,
+    # consecutive scans' rings alias onto each other one spacing over and
+    # point-to-point ICP locks onto the shifted match.
+    for side in (-1.0, 1.0):
+        s = -10.0
+        while s < total + 10.0:
+            seg = rng.uniform(2.0, 4.0)
+            pos, tang, norm = frame_at(s + seg / 2.0)
+            c = pos + side * 3.5 * norm
+            ext = np.abs(tang) * (seg / 2.0) + np.abs(norm) * 0.15
+            _box(c, ext, rng.uniform(0.1, 0.18), sink=0.3)
+            s += seg + rng.uniform(0.0, 0.6)
+    s = 0.0
+    while s < total:
+        pos, tang, norm = frame_at(s)
+        side = rng.choice([-1.0, 1.0])
+        c = pos + side * rng.uniform(2.5, 8.0) * norm + tang * rng.uniform(-1.0, 1.0)
+        _box(c, rng.uniform(0.12, 0.45, 2), rng.uniform(0.15, 0.7), sink=0.2)
+        s += rng.uniform(1.0, 2.0)
+
     return boxes
 
 
@@ -135,8 +200,10 @@ class SyntheticDataset:
         max_range: float = 100.0,
         speed: float = 1.0,
         accel_frames: int = 10,
+        turn_rate: float = 0.02,
         distort: bool = True,
-        noise: float = 0.02,
+        noise: float = 0.01,
+        dropout: float = 0.2,
         **__,
     ):
         seq = int(sequence) if str(sequence).isdigit() else 0
@@ -147,6 +214,7 @@ class SyntheticDataset:
         self._max_range = max_range
         self._distort = distort
         self._noise = noise
+        self._dropout = float(dropout)
         rng = np.random.default_rng(1234 + seq)
         self._noise_seed = 5678 + seq
 
@@ -161,7 +229,7 @@ class SyntheticDataset:
         for i in range(n_scans):
             self.gt_poses[i] = pose
             v = speed * min(1.0, (i + 1) / max(accel_frames, 1))
-            heading_rate = 0.02 * np.sin(i * 0.05) * (v / max(speed, 1e-9))
+            heading_rate = turn_rate * np.sin(i * 0.05) * (v / max(speed, 1e-9))
             heading += heading_rate
             yaw = np.array(
                 [
@@ -175,6 +243,22 @@ class SyntheticDataset:
             new_pose[:3, :3] = pose[:3, :3] @ yaw
             new_pose[:3, 3] = pose[:3, 3] + step
             pose = new_pose
+        # Suspension-induced attitude vibration: smooth (AR(1)) pitch/roll of
+        # a few tenths of a degree plus cm-level heave, scaled by speed. Real
+        # vehicles always have it, and it radially scrambles the scan's ground
+        # rings frame to frame (delta_r ~ r^2 * delta_pitch / h ~ 0.5 m at
+        # 15 m) — without it, perfectly repeatable rings lock/alias ICP in a
+        # way no real dataset does.
+        ar, state = 0.6, np.zeros(3)  # [pitch, roll, heave]
+        for i in range(n_scans):
+            vfrac = min(1.0, (i + 1) / max(accel_frames, 1))
+            state = ar * state + rng.normal(0.0, [0.004, 0.003, 0.015], 3) * vfrac
+            cp, sp = np.cos(state[0]), np.sin(state[0])
+            cr, sr = np.cos(state[1]), np.sin(state[1])
+            r_pitch = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+            r_roll = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+            self.gt_poses[i, :3, :3] = self.gt_poses[i, :3, :3] @ (r_pitch @ r_roll)
+            self.gt_poses[i, 2, 3] += state[2]
         # Vehicle follows the terrain height. Rendering uses the world-frame
         # poses; the exposed gt_poses are re-based to the first pose (every
         # reference loader does the same, e.g. mulran.py:80-81).
@@ -183,9 +267,7 @@ class SyntheticDataset:
         self._render_poses = self.gt_poses
         self.gt_poses = np.linalg.inv(self._render_poses[0]) @ self._render_poses
 
-        self._boxes = _make_world(
-            rng, trajectory_xy=xy, n_buildings=60, n_posts=140
-        )
+        self._boxes = _make_world(rng, trajectory_xy=xy)
 
         # Precompute the body-frame ray directions (beams x azimuth).
         az = np.linspace(0, 2 * np.pi, n_azimuth, endpoint=False)
@@ -201,8 +283,8 @@ class SyntheticDataset:
     def __len__(self):
         return self._n_scans
 
-    def _raycast(self, origins: np.ndarray, dirs: np.ndarray) -> np.ndarray:
-        """Per-ray ranges against the terrain height field + building AABBs."""
+    def _raycast(self, origins: np.ndarray, dirs: np.ndarray):
+        """Per-ray (range, hit_is_ground) against terrain + building AABBs."""
         n = dirs.shape[0]
         t_hit = np.full(n, self._max_range + 1.0)
 
@@ -217,6 +299,7 @@ class SyntheticDataset:
                 t_ground = (_terrain_height(gx, gy) - origins[:, 2]) / dz
         ok = (dz < -1e-6) & (t_ground > 0.1) & np.isfinite(t_ground)
         t_hit = np.where(ok, np.minimum(t_hit, t_ground), t_hit)
+        ground_t = np.where(ok, t_ground, np.inf)
 
         for lo, hi in self._boxes:
             with np.errstate(divide="ignore", invalid="ignore"):
@@ -226,7 +309,7 @@ class SyntheticDataset:
             tmax = np.nanmin(np.maximum(t1, t2), axis=1)
             hit = (tmax >= tmin) & (tmin > 0.1)
             t_hit = np.where(hit, np.minimum(t_hit, tmin), t_hit)
-        return t_hit
+        return t_hit, t_hit >= ground_t - 1e-9
 
     def _poses_during_scan(self, idx: int) -> np.ndarray:
         """Sensor pose at each azimuth stamp: T_i @ exp((t-1) * log(delta))."""
@@ -244,10 +327,32 @@ class SyntheticDataset:
         origins = poses[:, :3, 3] + poses[:, :3, :3] @ sensor_off
         dirs_world = np.einsum("rij,rj->ri", poses[:, :3, :3], self._dirs_body)
 
-        t = self._raycast(origins, dirs_world)
+        t, on_ground = self._raycast(origins, dirs_world)
+        # World-anchored surface micro-relief: real facades, cars, and roads
+        # carry decimeter-scale geometric texture (bricks, frames, trim) that
+        # is FIXED in the world and re-observed identically from every pose.
+        # Perfectly smooth boxes/planes are sliding-ambiguous along their
+        # faces, which no real surface is; this texture is what lets ICP lock
+        # all 6 DoF the way it does on real data.
+        hit_pt = origins + t[:, None] * dirs_world
+        relief = (
+            0.12 * np.sin(3.1 * hit_pt[:, 0]) * np.sin(2.7 * hit_pt[:, 1])
+            * np.sin(2.3 * hit_pt[:, 2] + 0.7)
+            + 0.06 * np.sin(7.3 * hit_pt[:, 0] + 1.3) * np.sin(6.1 * hit_pt[:, 2])
+        )
+        t = t + np.where(on_ground, 0.4 * relief, relief)
         rng = np.random.default_rng(self._noise_seed + idx)
-        t = t + rng.normal(0.0, self._noise, size=t.shape)
-        hit = t < self._max_range
+        # Range noise grows with grazing incidence: a ground return at range r
+        # from sensor height h has an along-ray footprint ~ r/h times the
+        # surface roughness, so distant ground rings are several cm fuzzy on
+        # real roads. This decorrelates consecutive scans' ground rings in the
+        # radius band where ring spacing matches per-frame motion (otherwise
+        # rings alias one spacing over and drag/launch the estimate).
+        grazing = np.where(on_ground, np.minimum(np.abs(t) / 1.8, 25.0), 1.0)
+        t = t + rng.normal(0.0, 1.0, size=t.shape) * self._noise * grazing
+        # Real sensors drop 10-30% of returns (absorption, specular surfaces).
+        keep = rng.random(t.shape) > self._dropout
+        hit = (t < self._max_range) & keep
 
         # Report each point in the BODY frame at its capture time, sensor
         # offset included — exactly what a real driver outputs.

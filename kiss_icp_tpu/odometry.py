@@ -172,6 +172,38 @@ def make_step(config: KISSConfig) -> Callable[..., Tuple[OdometryState, FrameRes
     return jax.jit(fn, donate_argnums=donate)
 
 
+class ChunkSummary(NamedTuple):
+    """Per-frame scalars of a scanned chunk (no big point buffers)."""
+
+    poses: jnp.ndarray  # (K, 4, 4)
+    sigmas: jnp.ndarray  # (K,)
+    num_iterations: jnp.ndarray  # (K,)
+    num_correspondences: jnp.ndarray  # (K,)
+
+
+def make_chunked_step(config: KISSConfig):
+    """Compile a K-frame advance: one device dispatch runs `lax.scan` over K
+    pre-loaded frames, amortizing dispatch/transfer overhead. Returns
+    `step(state, points (K,N,3), timestamps (K,N), valid (K,N))
+    -> (state, ChunkSummary)`. The reference has no analog (its per-frame cost
+    is milliseconds of C++, not a device round trip)."""
+
+    def chunk(state, points, timestamps, valid):
+        def body(s, inp):
+            p, t, v = inp
+            s2, res = register_frame(config, s, p, t, v)
+            return s2, (res.pose, res.sigma, res.num_iterations,
+                        res.num_correspondences)
+
+        state, (poses, sigmas, iters, corr) = jax.lax.scan(
+            body, state, (points, timestamps, valid)
+        )
+        return state, ChunkSummary(poses, sigmas, iters, corr)
+
+    donate = (0,) if config.engine.donate_state else ()
+    return jax.jit(chunk, donate_argnums=donate)
+
+
 class KissICP:
     """Stateful convenience wrapper: numpy scans in, numpy poses out.
 
@@ -212,12 +244,26 @@ class KissICP:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (deskewed frame, ICP source) as compact numpy arrays,
         mirroring the reference API (kiss_icp.py:43-75)."""
+        self.register_frame_lazy(frame, timestamps)
+        return self.last_frame(), self.last_source()
+
+    def register_frame_lazy(self, frame, timestamps=None) -> FrameResult:
+        """Advance one frame without materializing the point outputs on the
+        host: JAX dispatch is asynchronous, so back-to-back lazy calls pipeline
+        on the device, and the pipeline driver only syncs on the 4x4 pose. Use
+        `last_frame()` / `last_source()` to materialize when needed."""
         pts, ts, valid = self._pad(np.asarray(frame), timestamps)
         self.state, res = self._step(self.state, pts, ts, valid)
-        frame_out = np.asarray(res.frame_points)[np.asarray(res.frame_valid)]
-        source_out = np.asarray(res.source_points)[np.asarray(res.source_valid)]
         self.last_result = res
-        return frame_out, source_out
+        return res
+
+    def last_frame(self) -> np.ndarray:
+        res = self.last_result
+        return np.asarray(res.frame_points)[np.asarray(res.frame_valid)]
+
+    def last_source(self) -> np.ndarray:
+        res = self.last_result
+        return np.asarray(res.source_points)[np.asarray(res.source_valid)]
 
     @property
     def last_pose(self) -> np.ndarray:

@@ -299,7 +299,7 @@ def insert(cfg: MapConfig, m: VoxelMap, points: jnp.ndarray,
         write = (lanes[None, :] == cnt[:, None]) & accept[:, None]
         stored = jnp.where(write[..., None], cand[:, None, :], stored)
         cnt = cnt + accept.astype(jnp.int32)
-        added = added + jnp.sum(accept.astype(jnp.int32))
+        added = added + jnp.sum(accept.astype(jnp.int32)).astype(jnp.int32)
         return stored, cnt, added
 
     stored, cnt, added = jax.lax.fori_loop(

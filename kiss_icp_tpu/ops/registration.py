@@ -134,7 +134,13 @@ def align_points_to_map(
         est = est_local.at[:3, 3].add(center - est_local[:3, :3] @ center)
         src = se3.transform(est, src)
         t_icp = est @ t_icp
-        done = jnp.linalg.norm(dx) < convergence
+        # Convergence uses the increment expressed at the WORLD origin like the
+        # reference (`dx.norm() < criterion`, Registration.cpp:163): the
+        # recentered dx has the smaller translation |v - w x c|... stopping on
+        # it alone would terminate earlier than the reference every frame.
+        v, w = dx[:3], dx[3:]
+        v_world = v - jnp.cross(w, center)
+        done = jnp.sqrt(jnp.sum(v_world * v_world) + jnp.sum(w * w)) < convergence
         return src, t_icp, it + 1, done
 
     _, t_icp, iters, _ = jax.lax.while_loop(

@@ -70,10 +70,16 @@ def rotation_angle(r: jnp.ndarray) -> jnp.ndarray:
     """Rotation angle in [0, pi] from a rotation matrix (..., 3, 3).
 
     Same quantity as Eigen::AngleAxisd(R).angle() used by the adaptive threshold
-    (reference Threshold.cpp:40-42).
+    (reference Threshold.cpp:40-42). Computed as atan2(|skew(R)|, (tr-1)/2):
+    the naive arccos((tr-1)/2) is catastrophically imprecise in float32 — for
+    angles below ~3.5e-4 rad the cosine rounds to exactly 1.0 and the angle
+    reads zero, silently deleting the threshold recurrence's rotation term
+    (which multiplies by 2*max_range, so 1e-4 rad matters).
     """
     tr = r[..., 0, 0] + r[..., 1, 1] + r[..., 2, 2]
-    return jnp.arccos(jnp.clip(0.5 * (tr - 1.0), -1.0, 1.0))
+    cos = 0.5 * (tr - 1.0)
+    sin = jnp.linalg.norm(0.5 * vee(r - jnp.swapaxes(r, -1, -2)), axis=-1)
+    return jnp.arctan2(sin, cos)
 
 
 def so3_log(r: jnp.ndarray) -> jnp.ndarray:

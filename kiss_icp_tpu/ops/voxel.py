@@ -94,11 +94,21 @@ def voxel_downsample(
         ]
     )
     head = valid_s & ~prev_same
-
-    # Output position for each segment head; heads beyond `capacity` are dropped.
-    pos = jnp.cumsum(head.astype(jnp.int32)) - 1
     num_unique = jnp.sum(head.astype(jnp.int32))
-    out_pos = jnp.where(head & (pos < capacity), pos, capacity)  # capacity = drop slot
+
+    # Output position for each segment head. Heads are placed in HASH order of
+    # their voxel key, not key order: when the unique count exceeds `capacity`
+    # the dropped subset is then spatially unbiased, instead of truncating a
+    # lexicographic corner of the scan (keys sort by x, then y, then z).
+    h = (hi_s.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)) ^ (
+        lo_s.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+    )
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    order_key = jnp.where(head, h, jnp.uint32(0xFFFFFFFF))
+    rank = jnp.argsort(jnp.argsort(order_key)).astype(jnp.int32)  # hash rank
+    out_pos = jnp.where(head & (rank < capacity), rank, capacity)  # capacity = drop slot
 
     src_idx = jnp.full((capacity,), n, dtype=jnp.int32)  # n = gather of padded zero row
     src_idx = src_idx.at[out_pos].set(idx_s, mode="drop")

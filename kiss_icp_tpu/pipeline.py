@@ -90,17 +90,28 @@ class OdometryPipeline:
         return np.asarray(frame), np.asarray(timestamps)
 
     def _run_pipeline(self):
+        from kiss_icp_tpu.tools.visualizer import StubVisualizer
+
+        # Without a live visualizer, the big per-frame point outputs never
+        # need to reach the host: only the 4x4 pose is synced, which keeps
+        # the device pipeline busy (JAX dispatch is asynchronous).
+        headless = type(self.visualizer) is StubVisualizer
         for idx in get_progress_bar(self._first, self._last, "Odometry"):
             frame, timestamps = self._unpack(self._dataset[idx])
             t0 = time.perf_counter_ns()
-            deskewed, source = self.odometry.register_frame(frame, timestamps)
+            self.odometry.register_frame_lazy(frame, timestamps)
+            pose = self.odometry.last_pose  # blocks until the step finished
             t1 = time.perf_counter_ns()
             i = idx - self._first
-            self.poses[i] = self.odometry.last_pose
+            self.poses[i] = pose
             self.exec_times[i] = t1 - t0
-            self.visualizer.update(
-                deskewed, source, self.odometry, self.odometry.last_pose
-            )
+            if not headless:
+                self.visualizer.update(
+                    self.odometry.last_frame(),
+                    self.odometry.last_source(),
+                    self.odometry,
+                    pose,
+                )
 
     # --- Evaluation (reference pipeline.py:171-192) -----------------------
     def _fps(self, skip_warmup: int = 0) -> float:
