@@ -63,6 +63,12 @@ class EngineConfig:
     group_capacity: int = 16
     # Donate the odometry state buffers to the jitted step (in-place updates).
     donate_state: bool = True
+    # Frames advanced per device execution by the pipeline driver (lax.scan
+    # chunking). 1 = streaming (one execution per frame, per-frame host
+    # latency); larger values keep the odometry state on-device across the
+    # chunk, which is how production deployments should run: per-execution
+    # host overhead is amortized chunk-fold. Only used headless.
+    pipeline_chunk: int = 1
 
     @property
     def map_capacity(self) -> int:

@@ -265,6 +265,28 @@ class KissICP:
         res = self.last_result
         return np.asarray(res.source_points)[np.asarray(res.source_valid)]
 
+    def register_frames_chunked(self, frames, timestamps_list=None) -> np.ndarray:
+        """Advance K frames in ONE device execution (lax.scan) and return
+        their (K, 4, 4) poses. The odometry state never leaves the device
+        within the chunk, so per-execution host overhead is paid once per
+        chunk instead of once per frame."""
+        k = len(frames)
+        cap = self._capacity
+        pts = np.zeros((k, cap, 3), np.float32)
+        ts = np.zeros((k, cap), np.float32)
+        valid = np.zeros((k, cap), bool)
+        for i, f in enumerate(frames):
+            t = None if timestamps_list is None else timestamps_list[i]
+            p, tt, v = self._pad(np.asarray(f), t)
+            pts[i], ts[i], valid[i] = p, tt, v
+        if not hasattr(self, "_chunk_steps"):
+            self._chunk_steps = {}
+        if k not in self._chunk_steps:
+            self._chunk_steps[k] = make_chunked_step(self.config)
+        self.state, summary = self._chunk_steps[k](self.state, pts, ts, valid)
+        self.last_chunk_summary = summary
+        return np.asarray(summary.poses)
+
     @property
     def last_pose(self) -> np.ndarray:
         return np.asarray(self.state.pose)

@@ -96,6 +96,10 @@ class OdometryPipeline:
         # need to reach the host: only the 4x4 pose is synced, which keeps
         # the device pipeline busy (JAX dispatch is asynchronous).
         headless = type(self.visualizer) is StubVisualizer
+        chunk = int(getattr(self.config.engine, "pipeline_chunk", 1))
+        if headless and chunk > 1:
+            self._run_pipeline_chunked(chunk)
+            return
         for idx in get_progress_bar(self._first, self._last, "Odometry"):
             frame, timestamps = self._unpack(self._dataset[idx])
             t0 = time.perf_counter_ns()
@@ -112,6 +116,38 @@ class OdometryPipeline:
                     self.odometry,
                     pose,
                 )
+
+    def _run_pipeline_chunked(self, chunk: int):
+        """Advance the sequence `chunk` frames per device execution: the state
+        stays on-device within a chunk, amortizing per-execution overhead
+        (see EngineConfig.pipeline_chunk). Per-frame times are the chunk
+        average."""
+        idx = self._first
+        bar = get_progress_bar(0, self._n_scans, "Odometry (chunked)")
+        done = 0
+        while idx < self._last:
+            k = min(chunk, self._last - idx)
+            frames, stamps = [], []
+            for j in range(k):
+                f, t = self._unpack(self._dataset[idx + j])
+                frames.append(f)
+                stamps.append(t)
+            t0 = time.perf_counter_ns()
+            poses = self.odometry.register_frames_chunked(frames, stamps)
+            t1 = time.perf_counter_ns()
+            i0 = idx - self._first
+            self.poses[i0 : i0 + k] = poses
+            self.exec_times[i0 : i0 + k] = (t1 - t0) / k
+            idx += k
+            done += k
+            try:
+                bar.update(k)
+            except AttributeError:
+                pass
+        try:
+            bar.close()
+        except AttributeError:
+            pass
 
     # --- Evaluation (reference pipeline.py:171-192) -----------------------
     def _fps(self, skip_warmup: int = 0) -> float:

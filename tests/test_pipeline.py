@@ -119,3 +119,17 @@ def test_cli_full_run_on_generic_dir(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     assert main([str(data), "--config", str(cfg_file)]) == 0
     assert (tmp_path / "results" / "latest").exists()
+
+
+def test_pipeline_chunked_matches_streaming(tmp_path):
+    ds = SyntheticDataset(sequence=5, n_scans=6, n_beams=16, n_azimuth=128)
+    cfg_a = _small_config(tmp_path)
+    p1 = OdometryPipeline(ds, config=cfg_a)
+    p1.run()
+
+    cfg_b = _small_config(tmp_path)
+    cfg_b.engine.pipeline_chunk = 3
+    p2 = OdometryPipeline(ds, config=cfg_b)
+    p2.run()
+
+    np.testing.assert_allclose(p1.poses, p2.poses, atol=1e-5)
