@@ -56,6 +56,12 @@ def main() -> int:
     cfg.engine.source_capacity = 8192
     cfg.engine.map_capacity_log2 = 19
     cfg.engine.donate_state = True
+    # Per-attempt program salt: a semantically inert perturbation (1e-9
+    # relative on the convergence epsilon) yields a distinct executable per
+    # attempt, re-rolling whatever backend assignment puts some executables
+    # in the tunnel's slow-execution mode.
+    salt = int(os.environ.get("KISS_BENCH_SALT", "0"))
+    cfg.registration.convergence_criterion *= 1.0 + salt * 1e-9
 
     log("generating synthetic scans...")
     # Accelerating urban drive kept inside the algorithm's stable envelope
@@ -77,28 +83,37 @@ def main() -> int:
 
     chunk = make_chunked_step(cfg)
 
+    # IMPORTANT: no np.asarray on ANY execution output until every timed
+    # round has finished. Through the development tunnel, a device-to-host
+    # copy of an execution's output buffer flips all subsequent executions of
+    # the program into a ~1000x slow mode (block_until_ready alone is safe).
     log("compiling...")
     t0 = time.perf_counter()
     state = init_state(cfg)
     state, summary = chunk(state, pts, ts, valid)
     jax.block_until_ready(summary.poses)
-    log(f"compile+first run: {time.perf_counter() - t0:.1f}s; "
-        f"iters p50={np.percentile(np.asarray(summary.num_iterations), 50):.0f} "
-        f"p95={np.percentile(np.asarray(summary.num_iterations), 95):.0f}")
+    log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
 
     best = 0.0
-    est = None
+    last_summary = None
+    round_times = []
     for rnd in range(N_ROUNDS):
         st = init_state(cfg)
         t0 = time.perf_counter()
         st, summary = chunk(st, pts, ts, valid)
         jax.block_until_ready(summary.poses)
         dt = time.perf_counter() - t0
+        round_times.append(dt)
         fps = N_FRAMES / dt
         log(f"round {rnd}: {dt*1e3:.1f} ms for {N_FRAMES} frames "
             f"-> {dt/N_FRAMES*1e3:.2f} ms/frame ({fps:.1f} fps)")
         best = max(best, fps)
-        est = np.asarray(summary.poses)
+        last_summary = summary
+
+    # All timing done; host reads are safe now.
+    est = np.asarray(last_summary.poses)
+    iters = np.asarray(last_summary.num_iterations)
+    log(f"iters p50={np.percentile(iters, 50):.0f} p95={np.percentile(iters, 95):.0f}")
 
     # Accuracy on the measured trajectory.
     gt = ds.gt_poses[:N_FRAMES]
@@ -134,9 +149,10 @@ def parent() -> int:
     best = None
     for attempt in range(4):
         try:
+            env = dict(os.environ, KISS_BENCH_SALT=str(attempt))
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child"],
-                capture_output=True, text=True, timeout=900,
+                capture_output=True, text=True, timeout=900, env=env,
             )
         except subprocess.TimeoutExpired:
             log(f"attempt {attempt}: timed out (slow-mode process); retrying")
