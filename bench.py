@@ -110,6 +110,19 @@ def main() -> int:
         best = max(best, fps)
         last_summary = summary
 
+    # Batched multi-sequence throughput (BASELINE "sequences in parallel"):
+    # B independent odometry states advance through K frames in one
+    # execution. Same scans for every sequence — throughput measurement only.
+    from kiss_icp_tpu.parallel.batch import (
+        init_batched_state, make_batched_chunked_step,
+    )
+
+    try:
+        _bench_batched(cfg, pts, ts, valid, jax, log,
+                       init_batched_state, make_batched_chunked_step)
+    except Exception as e:  # diagnostic only; never kill the headline metric
+        log(f"batched diagnostic failed: {type(e).__name__}: {e}")
+
     # All timing done; host reads are safe now.
     est = np.asarray(last_summary.poses)
     iters = np.asarray(last_summary.num_iterations)
@@ -134,6 +147,35 @@ def main() -> int:
         )
     )
     return 0
+
+
+
+def _bench_batched(cfg, pts, ts, valid, jax, log,
+                   init_batched_state, make_batched_chunked_step):
+    """Batched multi-sequence throughput (BASELINE "sequences in parallel"):
+    B independent odometry states advance through K frames in one execution.
+    Same scans for every sequence — throughput measurement only."""
+    import numpy as np
+    import time
+
+    B = 4
+    n_frames = pts.shape[0]
+    bchunk = make_batched_chunked_step(cfg)
+    bpts = np.broadcast_to(pts[:, None], (n_frames, B) + pts.shape[1:]).copy()
+    bts = np.broadcast_to(ts[:, None], (n_frames, B) + ts.shape[1:]).copy()
+    bvalid = np.broadcast_to(valid[:, None], (n_frames, B) + valid.shape[1:]).copy()
+    bstate = init_batched_state(cfg, B)
+    t0 = time.perf_counter()
+    bstate, bposes = bchunk(bstate, bpts, bts, bvalid)
+    jax.block_until_ready(bposes)
+    log(f"batched compile+first: {time.perf_counter() - t0:.1f}s")
+    bstate2 = init_batched_state(cfg, B)
+    t0 = time.perf_counter()
+    bstate2, bposes = bchunk(bstate2, bpts, bts, bvalid)
+    jax.block_until_ready(bposes)
+    bdt = time.perf_counter() - t0
+    log(f"batched x{B}: {bdt*1e3:.1f} ms for {B * n_frames} sequence-frames "
+        f"-> {B * n_frames / bdt:.1f} seq-frames/s")
 
 
 def parent() -> int:

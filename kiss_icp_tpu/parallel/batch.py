@@ -102,6 +102,52 @@ def make_batched_step(config: KISSConfig, mesh: Mesh):
     )
 
 
+def make_batched_chunked_step(config: KISSConfig, mesh: Optional[Mesh] = None):
+    """Compile a (B sequences) x (K frames) advance in ONE device execution:
+    `lax.scan` over the frame axis of a `vmap`-ed register_frame. This is the
+    pod-throughput program (BASELINE "all sequences in parallel"): per-
+    execution host overhead is paid once per B*K sequence-frames, and the
+    batch axis shards over the mesh's "seq" axis when one is given.
+
+    Returns `step(state, points (K,B,N,3), timestamps (K,B,N), valid (K,B,N))
+    -> (state, poses (K,B,4,4))`.
+    """
+    vstep = jax.vmap(functools.partial(odometry.register_frame, config))
+
+    def chunk(state, points, timestamps, valid):
+        def body(s, inp):
+            p, t, v = inp
+            s2, res = vstep(s, p, t, v)
+            return s2, res.pose
+
+        return jax.lax.scan(body, state, (points, timestamps, valid))
+
+    if mesh is not None:
+        state_sh = NamedSharding(mesh, P(SEQ_AXIS))
+        data_sh = NamedSharding(mesh, P(None, SEQ_AXIS, PTS_AXIS))
+        out_sh = NamedSharding(mesh, P(None, SEQ_AXIS))
+
+        def sharded(state, points, timestamps, valid):
+            state = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, state_sh), state
+            )
+            state, poses = chunk(state, points, timestamps, valid)
+            state = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, state_sh), state
+            )
+            return state, poses
+
+        return jax.jit(
+            sharded,
+            in_shardings=(state_sh, data_sh, data_sh, data_sh),
+            out_shardings=(state_sh, out_sh),
+            donate_argnums=(0,) if config.engine.donate_state else (),
+        )
+    return jax.jit(
+        chunk, donate_argnums=(0,) if config.engine.donate_state else ()
+    )
+
+
 class BatchedOdometry:
     """Host-side convenience wrapper: run B sequences in lockstep.
 

@@ -1,0 +1,70 @@
+"""Golden per-frame parity: the full jitted pipeline vs the float64 oracle
+reimplementation of the reference algorithm, on identical small scans.
+
+This is the closed-loop equivalent of the per-kernel oracle tests: both
+pipelines (deskew off, identical configs) process the same frames and must
+produce near-identical pose trajectories. Kept to a few gentle frames so
+chaotic divergence near the algorithm's stability margin (which the oracle
+exhibits equally) stays below the tolerance.
+"""
+
+import numpy as np
+
+import oracle
+from kiss_icp_tpu.config.schema import KISSConfig
+from kiss_icp_tpu.datasets.synthetic import SyntheticDataset
+from kiss_icp_tpu.odometry import KissICP
+
+
+def test_full_pipeline_matches_oracle_pipeline():
+    n_frames = 4
+    ds = SyntheticDataset(
+        sequence=3, n_scans=n_frames, n_beams=16, n_azimuth=256,
+        max_range=50.0, speed=0.3, accel_frames=6, distort=False,
+    )
+
+    cfg = KISSConfig()
+    cfg.data.max_range = 50.0
+    cfg.data.min_range = 1.0
+    cfg.mapping.voxel_size = 1.0
+    cfg.engine.max_points_per_frame = 8192
+    cfg.engine.frame_capacity = 8192
+    cfg.engine.source_capacity = 2048
+    cfg.engine.map_capacity_log2 = 15
+    icp = KissICP(cfg)
+
+    vmap_o = oracle.VoxelMapOracle(1.0, 50.0, 20)
+    thr_o = oracle.ThresholdOracle(2.0, 0.1, 50.0)
+    last_pose = np.eye(4)
+    last_delta = np.eye(4)
+
+    for i in range(n_frames):
+        frame, _ = ds[i]
+
+        icp.register_frame_lazy(frame)
+        ours = np.asarray(icp.last_pose, np.float64)
+
+        r = np.linalg.norm(frame, axis=1)
+        cropped = frame[(r > 1.0) & (r < 50.0)]
+        fd = oracle.voxel_downsample(cropped, 0.5)
+        src = oracle.voxel_downsample(fd, 1.5)
+        sigma = thr_o.compute_threshold()
+        guess = last_pose @ last_delta
+        theirs = oracle.align_points_to_map(
+            vmap_o, src, guess, 3 * sigma, sigma,
+            max_iterations=500, convergence=1e-4,
+        )
+        dev = np.linalg.inv(guess) @ theirs
+        thr_o.update_model_deviation(dev)
+        vmap_o.update(fd, theirs)
+        last_delta = np.linalg.inv(last_pose) @ theirs
+        last_pose = theirs
+
+        np.testing.assert_allclose(
+            ours[:3, 3], theirs[:3, 3], atol=0.06,
+            err_msg=f"frame {i}: translation diverged from reference oracle",
+        )
+        np.testing.assert_allclose(
+            ours[:3, :3], theirs[:3, :3], atol=5e-3,
+            err_msg=f"frame {i}: rotation diverged from reference oracle",
+        )

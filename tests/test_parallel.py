@@ -94,3 +94,35 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_batched_chunked_step():
+    """B sequences x K frames in one execution matches per-frame batched."""
+    cfg = _tiny_config()
+    mesh = pbatch.make_mesh(8, pts_shards=2)
+    b, n, k = 8, cfg.engine.max_points_per_frame, 3
+
+    rng = np.random.default_rng(7)
+    base = rng.uniform(-30, 30, (b, n, 3)).astype(np.float32)
+    pts = np.stack(
+        [base + np.array([0.2 * i, 0, 0], np.float32) for i in range(k)]
+    )  # (K, B, N, 3)
+    ts = np.zeros((k, b, n), np.float32)
+    valid = np.ones((k, b, n), bool)
+
+    chunked = pbatch.make_batched_chunked_step(cfg, mesh)
+    cstate = jax.device_put(
+        pbatch.init_batched_state(cfg, b), pbatch.batched_state_sharding(mesh)
+    )
+    cstate, poses = chunked(cstate, pts, ts, valid)
+    assert poses.shape == (k, b, 4, 4)
+
+    step = pbatch.make_batched_step(cfg, mesh)
+    sstate = jax.device_put(
+        pbatch.init_batched_state(cfg, b), pbatch.batched_state_sharding(mesh)
+    )
+    for i in range(k):
+        sstate, res = step(sstate, pts[i], ts[i], valid[i])
+    np.testing.assert_allclose(
+        np.asarray(poses)[-1], np.asarray(res.pose), atol=1e-5
+    )
