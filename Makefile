@@ -3,7 +3,7 @@ NATIVE_LIB := kiss_icp_tpu/io/libkisstpu_native.so
 CXX ?= g++
 CXXFLAGS := -O3 -std=c++17 -fPIC -shared -pthread -Wall -Wextra
 
-.PHONY: all native test clean
+.PHONY: all native test clean install editable bench
 
 all: native
 
@@ -14,6 +14,15 @@ $(NATIVE_LIB): $(NATIVE_SRC)
 
 test: native
 	python -m pytest tests/ -q
+
+install: native
+	pip install --no-build-isolation .
+
+editable: native
+	pip install --no-build-isolation -e .
+
+bench: native
+	python bench.py
 
 clean:
 	rm -f $(NATIVE_LIB)

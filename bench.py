@@ -113,16 +113,6 @@ def main() -> int:
     # Batched multi-sequence throughput (BASELINE "sequences in parallel"):
     # B independent odometry states advance through K frames in one
     # execution. Same scans for every sequence — throughput measurement only.
-    from kiss_icp_tpu.parallel.batch import (
-        init_batched_state, make_batched_chunked_step,
-    )
-
-    try:
-        _bench_batched(cfg, pts, ts, valid, jax, log,
-                       init_batched_state, make_batched_chunked_step)
-    except Exception as e:  # diagnostic only; never kill the headline metric
-        log(f"batched diagnostic failed: {type(e).__name__}: {e}")
-
     # All timing done; host reads are safe now.
     est = np.asarray(last_summary.poses)
     iters = np.asarray(last_summary.num_iterations)
@@ -144,8 +134,21 @@ def main() -> int:
                 "unit": "frames/s",
                 "vs_baseline": round(best / TARGET_FPS, 3),
             }
-        )
+        ),
+        flush=True,
     )
+
+    # Batched multi-sequence diagnostic LAST: it can fault the device through
+    # the tunnel, and the headline JSON above must already be out.
+    from kiss_icp_tpu.parallel.batch import (
+        init_batched_state, make_batched_chunked_step,
+    )
+
+    try:
+        _bench_batched(cfg, pts, ts, valid, jax, log,
+                       init_batched_state, make_batched_chunked_step)
+    except Exception as e:  # diagnostic only; never kill the headline metric
+        log(f"batched diagnostic failed: {type(e).__name__}: {e}")
     return 0
 
 

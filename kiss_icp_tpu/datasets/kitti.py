@@ -59,7 +59,12 @@ class KITTIOdometryDataset:
         return len(self.scan_files)
 
     def __getitem__(self, idx):
-        pts = np.fromfile(self.scan_files[idx], dtype=np.float32).reshape(-1, 4)[:, :3]
+        from kiss_icp_tpu.io import native
+
+        if native.available():
+            pts = native.read_scan(self.scan_files[idx], native.FORMAT_F32X4)
+        else:
+            pts = np.fromfile(self.scan_files[idx], dtype=np.float32).reshape(-1, 4)[:, :3]
         return correct_kitti_scan(pts), np.array([])
 
     def _tr(self) -> np.ndarray:
