@@ -17,7 +17,6 @@ A loader is any object with:
 from __future__ import annotations
 
 import importlib
-import os
 from pathlib import Path
 from typing import Any, Dict, List, Optional
 

@@ -13,8 +13,6 @@ from __future__ import annotations
 
 import glob
 import os
-from pathlib import Path
-
 import numpy as np
 
 _VERTICAL_ANGLE_OFFSET = np.deg2rad(0.205)

@@ -15,8 +15,6 @@ from __future__ import annotations
 
 import glob
 import os
-from pathlib import Path
-
 import numpy as np
 
 from kiss_icp_tpu.datasets.kitti import correct_kitti_scan

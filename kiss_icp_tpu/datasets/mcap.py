@@ -5,10 +5,6 @@ from __future__ import annotations
 
 import os
 import sys
-from pathlib import Path
-
-import numpy as np
-
 from kiss_icp_tpu.tools.point_cloud2 import read_point_cloud
 
 

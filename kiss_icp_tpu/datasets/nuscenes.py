@@ -29,7 +29,6 @@ class NuScenesDataset:
                 'nuScenes loader requires the devkit: "pip install nuscenes-devkit"'
             ) from e
         from nuscenes.nuscenes import NuScenes
-        from nuscenes.utils.splits import create_splits_logs
 
         self.sequence_id = str(int(sequence)).zfill(4)
         self.data_dir = Path(str(data_dir))

@@ -8,8 +8,6 @@ import os
 import sys
 from pathlib import Path
 
-import numpy as np
-
 from kiss_icp_tpu.tools.point_cloud2 import read_point_cloud
 
 

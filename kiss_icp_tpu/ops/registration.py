@@ -30,7 +30,7 @@ Geman-McClure weight, exactly as the reference (Registration.cpp:95-98):
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

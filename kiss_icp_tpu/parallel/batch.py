@@ -23,7 +23,7 @@ mesh (tests/conftest.py) and dry-run compiled by `__graft_entry__.py`.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
