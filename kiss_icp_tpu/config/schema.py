@@ -63,6 +63,10 @@ class EngineConfig:
     group_capacity: int = 16
     # Donate the odometry state buffers to the jitted step (in-place updates).
     donate_state: bool = True
+    # Use the fused Pallas kernel for the ICP normal-equation build
+    # (ops/pallas_kernels.build_linear_system_pallas). Runs compiled on TPU,
+    # interpret-mode elsewhere (so the same program validates on the CPU mesh).
+    use_pallas: bool = False
     # Frames advanced per device execution by the pipeline driver (lax.scan
     # chunking). 1 = streaming (one execution per frame, per-frame host
     # latency); larger values keep the odometry state on-device across the

@@ -43,6 +43,8 @@ class FrameResult(NamedTuple):
     sigma: jnp.ndarray  # () adaptive threshold used this frame
     num_iterations: jnp.ndarray  # () ICP iterations run
     num_correspondences: jnp.ndarray  # () correspondences at convergence
+    num_dropped_downsample: jnp.ndarray  # () voxels lost to frame/source capacity
+    num_dropped_map_voxels: jnp.ndarray  # () new voxels lost to map probe overflow
 
 
 def map_config(config: KISSConfig) -> hash_map.MapConfig:
@@ -127,6 +129,7 @@ def register_frame(
         sigma,
         max_iterations=int(config.registration.max_num_iterations),
         convergence=float(config.registration.convergence_criterion),
+        use_pallas=bool(config.engine.use_pallas),
     )
     new_pose = align.pose
 
@@ -142,7 +145,9 @@ def register_frame(
     # 8. Merge the scan into the local map, then trim far voxels
     #    (reference VoxelHashMap::Update, VoxelHashMap.cpp:83-95).
     world_points = se3.transform(new_pose, frame_ds.points)
-    new_map, _ = hash_map.insert(mcfg, state.map, world_points, frame_ds.valid)
+    new_map, insert_stats = hash_map.insert(
+        mcfg, state.map, world_points, frame_ds.valid
+    )
     new_map = hash_map.trim(mcfg, new_map, new_pose[:3, 3])
 
     # 9. Constant-velocity bookkeeping.
@@ -161,6 +166,8 @@ def register_frame(
         sigma=sigma,
         num_iterations=align.num_iterations,
         num_correspondences=align.num_correspondences,
+        num_dropped_downsample=frame_ds.num_dropped + source.num_dropped,
+        num_dropped_map_voxels=insert_stats.num_dropped_voxels,
     )
     return new_state, result
 
@@ -179,6 +186,8 @@ class ChunkSummary(NamedTuple):
     sigmas: jnp.ndarray  # (K,)
     num_iterations: jnp.ndarray  # (K,)
     num_correspondences: jnp.ndarray  # (K,)
+    num_dropped_downsample: jnp.ndarray  # (K,)
+    num_dropped_map_voxels: jnp.ndarray  # (K,)
 
 
 def make_chunked_step(config: KISSConfig):
@@ -193,12 +202,13 @@ def make_chunked_step(config: KISSConfig):
             p, t, v = inp
             s2, res = register_frame(config, s, p, t, v)
             return s2, (res.pose, res.sigma, res.num_iterations,
-                        res.num_correspondences)
+                        res.num_correspondences, res.num_dropped_downsample,
+                        res.num_dropped_map_voxels)
 
-        state, (poses, sigmas, iters, corr) = jax.lax.scan(
+        state, (poses, sigmas, iters, corr, drop_ds, drop_map) = jax.lax.scan(
             body, state, (points, timestamps, valid)
         )
-        return state, ChunkSummary(poses, sigmas, iters, corr)
+        return state, ChunkSummary(poses, sigmas, iters, corr, drop_ds, drop_map)
 
     donate = (0,) if config.engine.donate_state else ()
     return jax.jit(chunk, donate_argnums=donate)
@@ -286,6 +296,16 @@ class KissICP:
         self.state, summary = self._chunk_steps[k](self.state, pts, ts, valid)
         self.last_chunk_summary = summary
         return np.asarray(summary.poses)
+
+    def last_overflow(self) -> Tuple[int, int]:
+        """(downsample drops, map-voxel drops) of the last frame — nonzero
+        means `engine.frame_capacity`/`source_capacity` or the map's
+        `capacity_log2`/`probe_length` are undersized for this scene."""
+        res = self.last_result
+        return (
+            int(np.asarray(res.num_dropped_downsample)),
+            int(np.asarray(res.num_dropped_map_voxels)),
+        )
 
     @property
     def last_pose(self) -> np.ndarray:

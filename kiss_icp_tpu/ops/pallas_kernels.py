@@ -154,3 +154,19 @@ def build_linear_system_pallas(
         jtr=slab[0:6, 6],
         num_correspondences=jnp.sum(weights_mask.astype(jnp.int32)),
     )
+
+
+def build_linear_system_fused(
+    source: jnp.ndarray,
+    targets: jnp.ndarray,
+    weights_mask: jnp.ndarray,
+    kernel_scale: jnp.ndarray,
+    center: jnp.ndarray,
+) -> LinearSystem:
+    """`build_linear_system_pallas` with the interpret flag picked for the
+    active backend: compiled Mosaic on TPU, interpreter elsewhere (CPU mesh
+    tests run the identical program)."""
+    interpret = jax.default_backend() != "tpu"
+    return build_linear_system_pallas(
+        source, targets, weights_mask, kernel_scale, center, interpret=interpret
+    )

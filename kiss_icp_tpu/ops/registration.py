@@ -96,7 +96,9 @@ class AlignResult(NamedTuple):
     num_correspondences: jnp.ndarray  # () int32 — at the last iteration
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_iterations", "convergence"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_iterations", "convergence", "use_pallas")
+)
 def align_points_to_map(
     cfg: hash_map.MapConfig,
     m: hash_map.VoxelMap,
@@ -108,6 +110,7 @@ def align_points_to_map(
     *,
     max_iterations: int,
     convergence: float,
+    use_pallas: bool = False,
 ) -> AlignResult:
     """Register one (body-frame) source scan against the local map.
 
@@ -119,6 +122,13 @@ def align_points_to_map(
     src0 = se3.transform(guess, points)
     center = guess[:3, 3]
 
+    if use_pallas:
+        from kiss_icp_tpu.ops.pallas_kernels import build_linear_system_fused
+
+        linsys = build_linear_system_fused
+    else:
+        linsys = build_linear_system
+
     def cond(carry):
         _, _, it, done = carry
         return (it < max_iterations) & ~done
@@ -127,7 +137,7 @@ def align_points_to_map(
         src, t_icp, it, _ = carry
         q = hash_map.query_nearest(cfg, m, src, valid)
         corr = q.found & (q.distances < max_distance)
-        ls = build_linear_system(src, q.neighbors, corr, kernel_scale, center)
+        ls = linsys(src, q.neighbors, corr, kernel_scale, center)
         dx = solve_increment(ls)
         est_local = se3.se3_exp(dx)
         # Conjugate the recentered increment back to the world frame.

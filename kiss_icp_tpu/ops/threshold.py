@@ -17,6 +17,7 @@ from kiss_icp_tpu.ops import se3
 
 class ThresholdState(NamedTuple):
     model_sse: jnp.ndarray  # () float32 — running sum of squared model errors
+    sse_comp: jnp.ndarray  # () float32 — Kahan compensation of model_sse
     num_samples: jnp.ndarray  # () float32 — sample count (float for the division)
 
 
@@ -24,6 +25,7 @@ def init_state(initial_threshold: float) -> ThresholdState:
     """model_sse = initial^2, num_samples = 1 (reference Threshold.cpp:30-36)."""
     return ThresholdState(
         model_sse=jnp.asarray(initial_threshold * initial_threshold, jnp.float32),
+        sse_comp=jnp.zeros((), jnp.float32),
         num_samples=jnp.asarray(1.0, jnp.float32),
     )
 
@@ -50,7 +52,15 @@ def update_model_deviation(
     delta_trans = jnp.linalg.norm(model_deviation[:3, 3])
     model_error = delta_trans + delta_rot
     moved = model_error > min_motion_th
+    # Kahan-compensated accumulation: the reference runs this sum in float64
+    # (Threshold.hpp:43-44); TPUs have no native f64, and a bare f32 running
+    # sum loses low-order per-frame updates once model_sse outgrows them over
+    # multi-thousand-frame sequences. Two f32 scalars recover f64-grade error.
+    increment = jnp.where(moved, model_error * model_error, 0.0)
+    y = increment - state.sse_comp
+    t = state.model_sse + y
     return ThresholdState(
-        model_sse=state.model_sse + jnp.where(moved, model_error * model_error, 0.0),
+        model_sse=t,
+        sse_comp=(t - state.model_sse) - y,
         num_samples=state.num_samples + jnp.where(moved, 1.0, 0.0),
     )

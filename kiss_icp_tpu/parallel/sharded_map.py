@@ -1,0 +1,311 @@
+"""Map-sharded odometry: the voxel map's slots split across a device mesh axis.
+
+Scale-out beyond one device's HBM (SURVEY.md section 7 step 7, the roadmap in
+docs/ARCHITECTURE.md "Map sharding with voxel halos"): each device owns
+`capacity / D` slots of the local map, so the dominant state tensor — the
+`(capacity, max_points_per_voxel, 3)` point store — shrinks D-fold per device.
+
+Sharding rule. A voxel belongs to the shard given by the LOW log2(D) bits of
+its mixed spatial hash; home buckets inside a shard use the TOP bits
+(`ops/hash_map.bucket`), so the two index sets are independent and every
+shard-local table keeps the global load factor. Hash sharding balances load
+perfectly (no spatial hot spots as the sensor moves) at the price that the 27
+query neighbors (reference VoxelHashMap.cpp:35-41) scatter across all shards
+— so instead of a spatial one-voxel halo, the "halo exchange" generalizes to
+a ring combine of per-shard nearest-neighbor candidates:
+
+  1. every device answers all queries against its own map shard
+     (`hash_map.query_nearest`; misses for voxels it does not own),
+  2. the per-query (distance, neighbor, shard) candidates rotate around the
+     mesh axis with `jax.lax.ppermute`, min-combining at every hop
+     (D-1 hops; ties broken by shard id so all devices agree bit-exactly),
+  3. the Gauss-Newton normal equations are built on a 1/D stripe of the
+     correspondences per device and reduced with `jax.lax.psum` — the
+     distributed form of the reference's tbb::parallel_reduce
+     (Registration.cpp:101-118, SURVEY.md section 2.2 P3).
+
+Everything else (deskew, double downsample, threshold, pose update) runs
+replicated: those ops are deterministic, so every device computes identical
+values without communication.
+
+Tested on the virtual 8-device CPU mesh against the single-device pipeline
+(pose parity + per-device memory assertion), and exercised by
+`__graft_entry__.dryrun_multichip`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.7 promotes shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from kiss_icp_tpu.config.schema import KISSConfig
+from kiss_icp_tpu import odometry
+from kiss_icp_tpu.ops import hash_map, preprocess, registration, se3, threshold, voxel
+from kiss_icp_tpu.ops.hash_map import _hash_coords  # sharding uses the same mix
+
+MAP_AXIS = "map"
+
+
+class ShardedMapState(NamedTuple):
+    """Odometry state with the map sharded over a mesh axis.
+
+    Map leaves have their global (2^capacity_log2) slot extent on axis 0 and
+    are sharded over `MAP_AXIS`; `total_points` / `num_dropped_voxels` become
+    per-shard (D,) vectors. pose/delta/threshold stay replicated.
+    """
+
+    pose: jnp.ndarray  # (4, 4)
+    delta: jnp.ndarray  # (4, 4)
+    threshold: threshold.ThresholdState
+    vkeys: jnp.ndarray  # (C, 3)
+    fprints: jnp.ndarray  # (C,)
+    counts: jnp.ndarray  # (C,)
+    points: jnp.ndarray  # (C, P, 3)
+    total_points: jnp.ndarray  # (D,) int32 per-shard totals
+    num_dropped_voxels: jnp.ndarray  # (D,) int32 per-shard drop counts
+
+
+def _shard_log2(mesh: Mesh) -> int:
+    d = mesh.shape[MAP_AXIS]
+    if d & (d - 1):
+        raise ValueError(f"map axis extent must be a power of two, got {d}")
+    return d.bit_length() - 1
+
+
+def local_map_config(config: KISSConfig, mesh: Mesh) -> hash_map.MapConfig:
+    """Per-shard map config: same semantics, 1/D the slots."""
+    mcfg = odometry.map_config(config)
+    d_log2 = _shard_log2(mesh)
+    if mcfg.capacity_log2 <= d_log2:
+        raise ValueError("map capacity must exceed the shard count")
+    return dataclasses.replace(mcfg, capacity_log2=mcfg.capacity_log2 - d_log2)
+
+
+def shard_of(coords: jnp.ndarray, n_shards: int) -> jnp.ndarray:
+    """Owning shard of voxel coords (..., 3): low bits of the mixed hash
+    (home buckets use the top bits — independent index sets)."""
+    return (_hash_coords(coords) & jnp.uint32(n_shards - 1)).astype(jnp.int32)
+
+
+def init_sharded_state(config: KISSConfig, mesh: Mesh) -> ShardedMapState:
+    """Fresh state, map leaves placed sharded over the mesh's map axis."""
+    d = mesh.shape[MAP_AXIS]
+    mcfg = odometry.map_config(config)
+    c, p = mcfg.capacity, mcfg.max_points_per_voxel
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P(MAP_AXIS))
+    return ShardedMapState(
+        pose=jax.device_put(se3.identity(), rep),
+        delta=jax.device_put(se3.identity(), rep),
+        threshold=jax.device_put(
+            threshold.init_state(config.adaptive_threshold.initial_threshold), rep
+        ),
+        vkeys=jax.device_put(jnp.zeros((c, 3), jnp.int32), shd),
+        fprints=jax.device_put(jnp.zeros((c,), jnp.int32), shd),
+        counts=jax.device_put(jnp.zeros((c,), jnp.int32), shd),
+        points=jax.device_put(jnp.zeros((c, p, 3), jnp.float32), shd),
+        total_points=jax.device_put(jnp.zeros((d,), jnp.int32), shd),
+        num_dropped_voxels=jax.device_put(jnp.zeros((d,), jnp.int32), shd),
+    )
+
+
+def _ring_min_combine(
+    d2: jnp.ndarray, nn: jnp.ndarray, axis: str, n_shards: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Global per-query NN from per-shard candidates via a ppermute ring.
+
+    Rotates each shard's original candidates one hop per step (D-1 steps);
+    every device min-combines what passes through. Ties break toward the
+    lower shard id so all replicas agree bit-exactly.
+    """
+    sid = jax.lax.axis_index(axis).astype(jnp.int32)
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    best_d2, best_nn = d2, nn
+    best_sid = jnp.full(d2.shape, sid, jnp.int32)
+    recv_d2, recv_nn = d2, nn
+    recv_sid = best_sid
+    for _ in range(n_shards - 1):
+        recv_d2 = jax.lax.ppermute(recv_d2, axis, perm)
+        recv_nn = jax.lax.ppermute(recv_nn, axis, perm)
+        recv_sid = jax.lax.ppermute(recv_sid, axis, perm)
+        take = (recv_d2 < best_d2) | ((recv_d2 == best_d2) & (recv_sid < best_sid))
+        best_d2 = jnp.where(take, recv_d2, best_d2)
+        best_nn = jnp.where(take[:, None], recv_nn, best_nn)
+        best_sid = jnp.where(take, recv_sid, best_sid)
+    return best_d2, best_nn
+
+
+def make_map_sharded_step(config: KISSConfig, mesh: Mesh):
+    """Compile one odometry step with the map sharded over `mesh`'s map axis.
+
+    Returns `step(state, points (N,3), timestamps (N,), valid (N,))
+    -> (state, pose (4,4))`. Inputs are replicated; per-frame semantics match
+    `odometry.register_frame` (reference KissICP.cpp:35-68) except that
+    overflowing voxels drop per-shard (each shard has 1/D capacity).
+    """
+    n_shards = mesh.shape[MAP_AXIS]
+    mcfg_local = local_map_config(config, mesh)
+    vsize = float(config.mapping.voxel_size)
+    max_iterations = int(config.registration.max_num_iterations)
+    convergence = float(config.registration.convergence_criterion)
+
+    def step_shard(state: ShardedMapState, points, timestamps, valid):
+        sid = jax.lax.axis_index(MAP_AXIS).astype(jnp.int32)
+        m = hash_map.VoxelMap(
+            vkeys=state.vkeys,
+            fprints=state.fprints,
+            counts=state.counts,
+            points=state.points,
+            total_points=state.total_points[0],
+            num_dropped_voxels=state.num_dropped_voxels[0],
+        )
+
+        # 1.-2. Deskew + crop + double downsample: replicated, deterministic.
+        prep = preprocess.preprocess(
+            points, timestamps, valid, state.delta,
+            max_range=float(config.data.max_range),
+            min_range=float(config.data.min_range),
+            deskew=bool(config.data.deskew),
+        )
+        frame_ds = voxel.voxel_downsample(
+            prep.points, prep.valid, voxel_size=vsize * 0.5,
+            capacity=int(config.engine.frame_capacity),
+        )
+        source = voxel.voxel_downsample(
+            frame_ds.points, frame_ds.valid, voxel_size=vsize * 1.5,
+            capacity=int(config.engine.source_capacity),
+        )
+
+        # 3.-4. Threshold + constant-velocity guess (replicated).
+        fixed = config.adaptive_threshold.fixed_threshold
+        sigma = (
+            jnp.asarray(float(fixed), jnp.float32)
+            if fixed is not None
+            else threshold.compute_threshold(state.threshold)
+        )
+        initial_guess = state.pose @ state.delta
+        max_distance = 3.0 * sigma
+
+        # 5. ICP with sharded association + psum'd normal equations.
+        guess = initial_guess.astype(jnp.float32)
+        src0 = se3.transform(guess, source.points)
+        center = guess[:3, 3]
+        n_src = source.points.shape[0]
+        my_stripe = (jnp.arange(n_src, dtype=jnp.int32) % n_shards) == sid
+        global_empty = jax.lax.psum(m.total_points, MAP_AXIS) == 0
+
+        def cond(carry):
+            _, _, it, done = carry
+            return (it < max_iterations) & ~done
+
+        def body(carry):
+            src, t_icp, it, _ = carry
+            q = hash_map.query_nearest(mcfg_local, m, src, source.valid)
+            d2, nn = _ring_min_combine(
+                jnp.square(q.distances), q.neighbors, MAP_AXIS, n_shards
+            )
+            dist = jnp.sqrt(d2)
+            corr = jnp.isfinite(dist) & source.valid & (dist < max_distance)
+            ls = registration.build_linear_system(
+                src, nn, corr & my_stripe, sigma, center
+            )
+            jtj = jax.lax.psum(ls.jtj, MAP_AXIS)
+            jtr = jax.lax.psum(ls.jtr, MAP_AXIS)
+            ncorr = jax.lax.psum(ls.num_correspondences, MAP_AXIS)
+            dx = registration.solve_increment(
+                registration.LinearSystem(jtj, jtr, ncorr)
+            )
+            est_local = se3.se3_exp(dx)
+            est = est_local.at[:3, 3].add(center - est_local[:3, :3] @ center)
+            src = se3.transform(est, src)
+            t_icp = est @ t_icp
+            v, w = dx[:3], dx[3:]
+            v_world = v - jnp.cross(w, center)
+            done = jnp.sqrt(jnp.sum(v_world * v_world) + jnp.sum(w * w)) < convergence
+            return src, t_icp, it + 1, done
+
+        _, t_icp, _, _ = jax.lax.while_loop(
+            cond,
+            body,
+            (src0, se3.identity(), jnp.zeros((), jnp.int32), jnp.zeros((), bool)),
+        )
+        new_pose = jnp.where(global_empty, guess, t_icp @ guess)
+
+        # 6.-7. Threshold update (replicated).
+        model_deviation = se3.inverse(initial_guess) @ new_pose
+        new_threshold = threshold.update_model_deviation(
+            state.threshold, model_deviation,
+            max_range=float(config.data.max_range),
+            min_motion_th=float(config.adaptive_threshold.min_motion_th),
+        )
+
+        # 8. Insert only the voxels this shard owns, then trim locally.
+        world_points = se3.transform(new_pose, frame_ds.points)
+        own = shard_of(
+            voxel.point_to_voxel(world_points, vsize), n_shards
+        ) == sid
+        new_map, _ = hash_map.insert(
+            mcfg_local, m, world_points, frame_ds.valid & own
+        )
+        new_map = hash_map.trim(mcfg_local, new_map, new_pose[:3, 3])
+
+        new_state = ShardedMapState(
+            pose=new_pose,
+            delta=se3.inverse(state.pose) @ new_pose,
+            threshold=new_threshold,
+            vkeys=new_map.vkeys,
+            fprints=new_map.fprints,
+            counts=new_map.counts,
+            points=new_map.points,
+            total_points=new_map.total_points.reshape(1),
+            num_dropped_voxels=new_map.num_dropped_voxels.reshape(1),
+        )
+        return new_state, new_pose
+
+    rep = P()
+    shd = P(MAP_AXIS)
+    state_specs = ShardedMapState(
+        pose=rep, delta=rep,
+        threshold=threshold.ThresholdState(rep, rep, rep),
+        vkeys=shd, fprints=shd, counts=shd, points=shd,
+        total_points=shd, num_dropped_voxels=shd,
+    )
+    mapped = shard_map(
+        step_shard,
+        mesh=mesh,
+        in_specs=(state_specs, rep, rep, rep),
+        out_specs=(state_specs, rep),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def make_map_sharded_chunked_step(config: KISSConfig, mesh: Mesh):
+    """K-frame advance of the map-sharded step under one `lax.scan`."""
+    step = make_map_sharded_step(config, mesh)
+
+    def chunk(state, points, timestamps, valid):
+        def body(s, inp):
+            p, t, v = inp
+            return step(s, p, t, v)
+
+        return jax.lax.scan(body, state, (points, timestamps, valid))
+
+    return jax.jit(chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("n_shards",))
+def shard_live_voxels(state: ShardedMapState, n_shards: int) -> jnp.ndarray:
+    """(D,) live-voxel count per shard (diagnostics / load-balance checks)."""
+    live = (state.counts > 0).astype(jnp.int32)
+    return jnp.sum(live.reshape(n_shards, -1), axis=1)

@@ -57,6 +57,10 @@ class OdometryPipeline:
         self.poses = np.zeros((self._n_scans, 4, 4))
         self.exec_times = np.zeros(self._n_scans)
         self.results = PipelineResults()
+        self.total_dropped_downsample = 0
+        self.total_dropped_map_voxels = 0
+        self._warned_overflow_downsample = False
+        self._warned_overflow_map = False
 
         if visualizer is None:
             from kiss_icp_tpu.tools.visualizer import StubVisualizer
@@ -109,6 +113,7 @@ class OdometryPipeline:
             i = idx - self._first
             self.poses[i] = pose
             self.exec_times[i] = t1 - t0
+            self._check_overflow(*self.odometry.last_overflow())
             if not headless:
                 self.visualizer.update(
                     self.odometry.last_frame(),
@@ -138,6 +143,11 @@ class OdometryPipeline:
             i0 = idx - self._first
             self.poses[i0 : i0 + k] = poses
             self.exec_times[i0 : i0 + k] = (t1 - t0) / k
+            summary = self.odometry.last_chunk_summary
+            self._check_overflow(
+                int(np.sum(np.asarray(summary.num_dropped_downsample))),
+                int(np.sum(np.asarray(summary.num_dropped_map_voxels))),
+            )
             idx += k
             done += k
             try:
@@ -148,6 +158,35 @@ class OdometryPipeline:
             bar.close()
         except AttributeError:
             pass
+
+    def _check_overflow(self, dropped_downsample: int, dropped_map: int):
+        """Surface silent capacity overflow: the reference's std::vector-backed
+        structures are unbounded (VoxelHashMap.cpp:97-119); our fixed-shape
+        buffers drop on overflow, which degrades accuracy and MUST be loud."""
+        self.total_dropped_downsample += dropped_downsample
+        self.total_dropped_map_voxels += dropped_map
+        if dropped_downsample and not self._warned_overflow_downsample:
+            self._warned_overflow_downsample = True
+            import warnings
+
+            warnings.warn(
+                f"voxel downsample dropped {dropped_downsample} voxels this "
+                "frame: raise engine.frame_capacity / engine.source_capacity "
+                "(accuracy degrades silently otherwise)",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+        if dropped_map and not self._warned_overflow_map:
+            self._warned_overflow_map = True
+            import warnings
+
+            warnings.warn(
+                f"voxel map dropped {dropped_map} new voxels this frame: "
+                "raise engine.map_capacity_log2 or engine.probe_length "
+                "(accuracy degrades silently otherwise)",
+                RuntimeWarning,
+                stacklevel=3,
+            )
 
     # --- Evaluation (reference pipeline.py:171-192) -----------------------
     def _fps(self, skip_warmup: int = 0) -> float:
@@ -183,6 +222,11 @@ class OdometryPipeline:
         self.results.append(
             desc="Average Frequency (no warmup)", units="Hz", value=fps_hot, trunc=True
         )
+        if self.total_dropped_downsample or self.total_dropped_map_voxels:
+            self.results.append(
+                desc="Dropped voxels (capacity overflow)", units="count",
+                value=self.total_dropped_downsample + self.total_dropped_map_voxels,
+            )
 
     # --- Output writing (reference pipeline.py:115-169,194-217) -----------
     @staticmethod

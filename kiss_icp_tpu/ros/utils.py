@@ -35,8 +35,9 @@ def quat_trans_to_pose(quat_xyzw, trans) -> np.ndarray:
 
 
 def reexpress_in_base_frame(pose: np.ndarray, t_cloud_base: np.ndarray) -> np.ndarray:
-    """T' = T_cb^-1 . T . T_cb: express the LiDAR-frame odometry in a base
-    frame given cloud<-base extrinsics (reference OdometryServer.cpp:175-217;
+    """T' = T_cb . T . T_cb^-1: express the LiDAR-frame odometry in a base
+    frame given cloud<-base extrinsics `T_cb` (matches the reference's
+    `cloud2base * pose * cloud2base.inverse()`, OdometryServer.cpp:181-186;
     the node publishes the conjugated pose when `base_frame` is set)."""
     inv = np.linalg.inv(t_cloud_base)
     return t_cloud_base @ pose @ inv

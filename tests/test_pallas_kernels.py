@@ -53,3 +53,36 @@ def test_all_masked_out():
     pal = build_linear_system_pallas(src, tgt, mask, k, c, interpret=True)
     np.testing.assert_allclose(np.asarray(pal.jtj), 0.0)
     assert int(pal.num_correspondences) == 0
+
+
+def test_register_frame_pallas_path_matches_jnp():
+    """engine.use_pallas=True must produce the same trajectory as the default
+    path (interpret mode here; the TPU bench A/Bs the compiled kernel)."""
+    from kiss_icp_tpu.config.schema import KISSConfig
+    from kiss_icp_tpu import odometry
+
+    def run(use_pallas):
+        cfg = KISSConfig()
+        cfg.data.max_range = 50.0
+        cfg.data.min_range = 1.0
+        cfg.mapping.voxel_size = 0.5
+        cfg.engine.max_points_per_frame = 2048
+        cfg.engine.frame_capacity = 2048
+        cfg.engine.source_capacity = 512
+        cfg.engine.map_capacity_log2 = 13
+        cfg.engine.donate_state = False
+        cfg.engine.use_pallas = use_pallas
+        cfg.registration.max_num_iterations = 12
+        rng = np.random.default_rng(7)
+        base = rng.uniform(-30, 30, (2048, 3)).astype(np.float32)
+        state = odometry.init_state(cfg)
+        poses = []
+        for i in range(3):
+            pts = base + np.array([0.3 * i, 0.05 * i, 0], np.float32)
+            state, res = odometry.register_frame(
+                cfg, state, pts, np.zeros(2048, np.float32), np.ones(2048, bool)
+            )
+            poses.append(np.asarray(res.pose))
+        return np.stack(poses)
+
+    np.testing.assert_allclose(run(True), run(False), atol=1e-4)
