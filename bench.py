@@ -1,28 +1,36 @@
-"""Benchmark: single-chip odometry throughput (frames/s) on synthetic LiDAR.
+"""Benchmark: odometry throughput on synthetic LiDAR (one TPU chip).
 
-Runs the full register_frame pipeline (deskew, double downsample, adaptive
-threshold, ICP, map update) on procedurally generated 64-beam scans sized like
-KITTI Velodyne frames, on whatever accelerator JAX finds (one TPU chip under
-the driver). Prints ONE JSON line:
+Prints ONE JSON line for the driver:
 
     {"metric": "odometry_frames_per_s_per_chip", "value": N, "unit": "frames/s",
      "vs_baseline": N / 100.0}
 
-vs_baseline is measured against the BASELINE.md target of >= 100 frames/s/chip.
-Extra diagnostics (accuracy, per-round timing) go to stderr.
+vs_baseline measures against the BASELINE.md target of >= 100 frames/s/chip.
+All other measurements go to stderr as diagnostics:
 
-Measurement uses the chunked execution mode (`odometry.make_chunked_step`):
-K frames advance under one `lax.scan` in a single device execution, which is
-both the production deployment shape (state never leaves the device) and the
-only fair measurement through the development tunnel, whose per-execution
-overhead (~0.5-2 s) otherwise dwarfs the sub-millisecond compute. A streaming
-single-frame diagnostic is logged for reference.
+  * chunked    — the headline: K frames advance under one `lax.scan`
+                 (production deployment shape; state never leaves the device).
+  * pallas     — same, with the fused Pallas linear-system kernel in the ICP
+                 loop (engine.use_pallas): the A/B that decides the default.
+  * batched    — B independent sequences in lockstep (BASELINE "all sequences
+                 in parallel"); timing only, results validated on the CPU mesh
+                 (large-output d2h reads fault through the dev tunnel).
+  * soak       — 240-frame drive in 24-frame chunks: steady-state fps with the
+                 map at full occupancy + trim churn, fps-vs-fill curve.
+  * streaming  — chunk=1: per-frame dispatch latency, the ROS node's shape.
+
+Measurement discipline for the development tunnel (docs/ARCHITECTURE.md):
+each mode runs in its own child process with a hard timeout (the tunnel
+nondeterministically lands some processes in a ~1000x slow-execution mode),
+timing uses block_until_ready only, and NO execution output is read back
+(np.asarray) until every timed round of that child has finished.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -32,64 +40,64 @@ import numpy as np  # noqa: E402
 
 TARGET_FPS = 100.0  # BASELINE.md: >= 100 frames/s per chip
 N_FRAMES = 14
-N_ROUNDS = 4
 
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def main() -> int:
-    import jax
-
+def _config(use_pallas=False):
     from kiss_icp_tpu.config.parser import load_config
-    from kiss_icp_tpu.datasets.synthetic import SyntheticDataset
-    from kiss_icp_tpu import metrics
-    from kiss_icp_tpu.odometry import init_state, make_chunked_step
-
-    log(f"devices: {jax.devices()}")
 
     cfg = load_config(None)  # reference defaults: 100 m range, 1 m voxels
     cfg.data.min_range = 1.0
     cfg.engine.max_points_per_frame = 65536
     # Capacity planning to the scene statistics (like choosing voxel size):
-    # these scans occupy ~6k half-meter voxels; 16384 gives 2.7x headroom and
-    # shrinks the downsample sorts and insert tables (~15% per-frame).
+    # these scans occupy ~6k half-meter voxels; 16384 gives 2.7x headroom.
     cfg.engine.frame_capacity = 16384
     cfg.engine.source_capacity = 8192
     cfg.engine.map_capacity_log2 = 19
     cfg.engine.donate_state = True
+    cfg.engine.use_pallas = use_pallas
     # Per-attempt program salt: a semantically inert perturbation (1e-9
     # relative on the convergence epsilon) yields a distinct executable per
     # attempt, re-rolling whatever backend assignment puts some executables
     # in the tunnel's slow-execution mode.
     salt = int(os.environ.get("KISS_BENCH_SALT", "0"))
     cfg.registration.convergence_criterion *= 1.0 + salt * 1e-9
+    return cfg
 
-    log("generating synthetic scans...")
-    # Accelerating urban drive kept inside the algorithm's stable envelope
-    # (validated against the float64 oracle of the reference algorithm).
-    ds = SyntheticDataset(sequence=0, n_scans=N_FRAMES, speed=1.0, accel_frames=30)
+
+def _scans(cfg, n_frames):
+    from kiss_icp_tpu.datasets.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(sequence=0, n_scans=n_frames, speed=1.0, accel_frames=30)
     cap = cfg.engine.max_points_per_frame
-    pts = np.zeros((N_FRAMES, cap, 3), np.float32)
-    ts = np.zeros((N_FRAMES, cap), np.float32)
-    valid = np.zeros((N_FRAMES, cap), bool)
-    sizes = []
-    for i in range(N_FRAMES):
+    pts = np.zeros((n_frames, cap, 3), np.float32)
+    ts = np.zeros((n_frames, cap), np.float32)
+    valid = np.zeros((n_frames, cap), bool)
+    for i in range(n_frames):
         p, t = ds[i]
         n = min(len(p), cap)
         pts[i, :n] = p[:n]
         ts[i, :n] = t[:n]
         valid[i, :n] = True
-        sizes.append(n)
-    log(f"scan sizes: min={min(sizes)} max={max(sizes)}")
+    return ds, pts, ts, valid
 
+
+# --------------------------------------------------------------------------
+# Child modes. Each prints one JSON result dict on stdout.
+# --------------------------------------------------------------------------
+
+def child_chunked(use_pallas: bool) -> dict:
+    import jax
+    from kiss_icp_tpu import metrics
+    from kiss_icp_tpu.odometry import init_state, make_chunked_step
+
+    cfg = _config(use_pallas)
+    ds, pts, ts, valid = _scans(cfg, N_FRAMES)
     chunk = make_chunked_step(cfg)
 
-    # IMPORTANT: no np.asarray on ANY execution output until every timed
-    # round has finished. Through the development tunnel, a device-to-host
-    # copy of an execution's output buffer flips all subsequent executions of
-    # the program into a ~1000x slow mode (block_until_ready alone is safe).
     log("compiling...")
     t0 = time.perf_counter()
     state = init_state(cfg)
@@ -99,134 +107,231 @@ def main() -> int:
 
     best = 0.0
     last_summary = None
-    round_times = []
-    for rnd in range(N_ROUNDS):
+    for rnd in range(4):
         st = init_state(cfg)
         t0 = time.perf_counter()
         st, summary = chunk(st, pts, ts, valid)
         jax.block_until_ready(summary.poses)
         dt = time.perf_counter() - t0
-        round_times.append(dt)
         fps = N_FRAMES / dt
-        log(f"round {rnd}: {dt*1e3:.1f} ms for {N_FRAMES} frames "
-            f"-> {dt/N_FRAMES*1e3:.2f} ms/frame ({fps:.1f} fps)")
+        log(f"round {rnd}: {dt*1e3:.1f} ms -> {dt/N_FRAMES*1e3:.2f} ms/frame "
+            f"({fps:.1f} fps)")
         best = max(best, fps)
         last_summary = summary
 
-    # Batched multi-sequence throughput (BASELINE "sequences in parallel"):
-    # B independent odometry states advance through K frames in one
-    # execution. Same scans for every sequence — throughput measurement only.
     # All timing done; host reads are safe now.
     est = np.asarray(last_summary.poses)
     iters = np.asarray(last_summary.num_iterations)
-    log(f"iters p50={np.percentile(iters, 50):.0f} p95={np.percentile(iters, 95):.0f}")
+    drops = (int(np.sum(np.asarray(last_summary.num_dropped_downsample)))
+             + int(np.sum(np.asarray(last_summary.num_dropped_map_voxels))))
+    log(f"iters p50={np.percentile(iters, 50):.0f} "
+        f"p95={np.percentile(iters, 95):.0f} dropped_voxels={drops}")
+    assert drops == 0, "capacity overflow during bench (undersized engine caps)"
 
-    # Accuracy on the measured trajectory.
     gt = ds.gt_poses[:N_FRAMES]
     errs = np.linalg.norm(est[:, :3, 3] - gt[:, :3, 3], axis=1)
     ate_rot, ate_trans = metrics.absolute_trajectory_error(gt, est)
     log(f"accuracy: max_err={np.nanmax(errs):.3f} m final={errs[-1]:.3f} m "
         f"ATE_trans={ate_trans:.3f} m ATE_rot={ate_rot:.4f} rad "
         f"finite={np.all(np.isfinite(est))}")
+    return {"mode": "pallas" if use_pallas else "chunked", "fps": round(best, 2),
+            "ate_trans": round(float(ate_trans), 4)}
 
-    print(
-        json.dumps(
-            {
-                "metric": "odometry_frames_per_s_per_chip",
-                "value": round(best, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(best / TARGET_FPS, 3),
-            }
-        ),
-        flush=True,
-    )
 
-    # Batched multi-sequence diagnostic LAST: it can fault the device through
-    # the tunnel, and the headline JSON above must already be out.
+def child_batched() -> dict:
+    """B sequences in lockstep; timing only (no output reads — see module
+    docstring)."""
+    import jax
     from kiss_icp_tpu.parallel.batch import (
         init_batched_state, make_batched_chunked_step,
     )
 
-    try:
-        _bench_batched(cfg, pts, ts, valid, jax, log,
-                       init_batched_state, make_batched_chunked_step)
-    except Exception as e:  # diagnostic only; never kill the headline metric
-        log(f"batched diagnostic failed: {type(e).__name__}: {e}")
-    return 0
-
-
-
-def _bench_batched(cfg, pts, ts, valid, jax, log,
-                   init_batched_state, make_batched_chunked_step):
-    """Batched multi-sequence throughput (BASELINE "sequences in parallel"):
-    B independent odometry states advance through K frames in one execution.
-    Same scans for every sequence — throughput measurement only."""
-    import numpy as np
-    import time
-
-    B = 4
-    n_frames = pts.shape[0]
+    cfg = _config()
+    _, pts, ts, valid = _scans(cfg, N_FRAMES)
+    b = 4
     bchunk = make_batched_chunked_step(cfg)
-    bpts = np.broadcast_to(pts[:, None], (n_frames, B) + pts.shape[1:]).copy()
-    bts = np.broadcast_to(ts[:, None], (n_frames, B) + ts.shape[1:]).copy()
-    bvalid = np.broadcast_to(valid[:, None], (n_frames, B) + valid.shape[1:]).copy()
-    bstate = init_batched_state(cfg, B)
+    bpts = np.broadcast_to(pts[:, None], (N_FRAMES, b) + pts.shape[1:]).copy()
+    bts = np.broadcast_to(ts[:, None], (N_FRAMES, b) + ts.shape[1:]).copy()
+    bvalid = np.broadcast_to(valid[:, None], (N_FRAMES, b) + valid.shape[1:]).copy()
+
+    log("compiling batched...")
     t0 = time.perf_counter()
+    bstate = init_batched_state(cfg, b)
     bstate, bposes = bchunk(bstate, bpts, bts, bvalid)
     jax.block_until_ready(bposes)
     log(f"batched compile+first: {time.perf_counter() - t0:.1f}s")
-    bstate2 = init_batched_state(cfg, B)
+
+    best = 0.0
+    for rnd in range(3):
+        st = init_batched_state(cfg, b)
+        t0 = time.perf_counter()
+        st, bposes = bchunk(st, bpts, bts, bvalid)
+        jax.block_until_ready(bposes)
+        dt = time.perf_counter() - t0
+        sfps = b * N_FRAMES / dt
+        log(f"batched round {rnd}: {dt*1e3:.1f} ms for {b * N_FRAMES} "
+            f"sequence-frames -> {sfps:.1f} seq-frames/s")
+        best = max(best, sfps)
+    return {"mode": "batched", "batch": b, "seq_fps": round(best, 2)}
+
+
+def child_soak() -> dict:
+    """Long-run: steady-state throughput with the map at full occupancy."""
+    import jax
+    from kiss_icp_tpu.odometry import init_state, make_chunked_step
+
+    cfg = _config()
+    n_total, k = 240, 24
+    _, pts, ts, valid = _scans(cfg, n_total)
+    chunk = make_chunked_step(cfg)
+
+    log("compiling soak...")
+    state = init_state(cfg)
     t0 = time.perf_counter()
-    bstate2, bposes = bchunk(bstate2, bpts, bts, bvalid)
-    jax.block_until_ready(bposes)
-    bdt = time.perf_counter() - t0
-    log(f"batched x{B}: {bdt*1e3:.1f} ms for {B * n_frames} sequence-frames "
-        f"-> {B * n_frames / bdt:.1f} seq-frames/s")
+    state, summary = chunk(state, pts[:k], ts[:k], valid[:k])
+    jax.block_until_ready(summary.poses)
+    log(f"soak compile+first: {time.perf_counter() - t0:.1f}s")
+
+    state = init_state(cfg)
+    chunk_fps = []
+    summaries = []
+    for c in range(n_total // k):
+        sl = slice(c * k, (c + 1) * k)
+        t0 = time.perf_counter()
+        state, summary = chunk(state, pts[sl], ts[sl], valid[sl])
+        jax.block_until_ready(summary.poses)
+        dt = time.perf_counter() - t0
+        chunk_fps.append(k / dt)
+        summaries.append(summary)
+    # Reads after ALL timing.
+    fill = int(np.asarray(state.map.total_points))
+    drops = sum(
+        int(np.sum(np.asarray(s.num_dropped_downsample)))
+        + int(np.sum(np.asarray(s.num_dropped_map_voxels)))
+        for s in summaries
+    )
+    sigmas = np.asarray(summaries[-1].sigmas)
+    curve = " ".join(f"{f:.0f}" for f in chunk_fps)
+    steady = float(np.mean(chunk_fps[len(chunk_fps) // 2:]))
+    log(f"soak fps per {k}-frame chunk: {curve}")
+    log(f"soak steady-state fps={steady:.1f} map_points={fill} "
+        f"dropped={drops} sigma_final={sigmas[-1]:.3f}")
+    return {"mode": "soak", "steady_fps": round(steady, 2),
+            "first_chunk_fps": round(chunk_fps[0], 2), "map_points": fill,
+            "dropped": drops}
+
+
+def child_streaming() -> dict:
+    """chunk=1 per-frame latency incl. dispatch (the ROS deployment shape)."""
+    import jax
+    from kiss_icp_tpu.odometry import init_state, make_step
+
+    cfg = _config()
+    n = 30
+    _, pts, ts, valid = _scans(cfg, n)
+    step = make_step(cfg)
+
+    log("compiling streaming...")
+    state = init_state(cfg)
+    t0 = time.perf_counter()
+    state, res = step(state, pts[0], ts[0], valid[0])
+    jax.block_until_ready(res.pose)
+    log(f"streaming compile+first: {time.perf_counter() - t0:.1f}s")
+
+    lat = []
+    for i in range(1, n):
+        t0 = time.perf_counter()
+        state, res = step(state, pts[i], ts[i], valid[i])
+        jax.block_until_ready(res.pose)
+        lat.append(time.perf_counter() - t0)
+    lat_ms = np.asarray(lat) * 1e3
+    log(f"streaming per-frame latency: p50={np.percentile(lat_ms, 50):.2f} ms "
+        f"p95={np.percentile(lat_ms, 95):.2f} ms min={lat_ms.min():.2f} ms")
+    return {"mode": "streaming", "p50_ms": round(float(np.percentile(lat_ms, 50)), 3),
+            "min_ms": round(float(lat_ms.min()), 3)}
+
+
+# --------------------------------------------------------------------------
+# Parent orchestration.
+# --------------------------------------------------------------------------
+
+def _run_child(mode: str, salt: int, timeout: int) -> dict | None:
+    env = dict(os.environ, KISS_BENCH_SALT=str(salt))
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", mode],
+            capture_output=True, text=True, timeout=timeout, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        log(f"[{mode} salt={salt}] timed out (slow-mode process)")
+        return None
+    sys.stderr.write(proc.stderr)
+    result = None
+    for line in proc.stdout.strip().splitlines():
+        if line.startswith("{"):
+            result = json.loads(line)
+    if result is None:
+        log(f"[{mode} salt={salt}] no result (exit {proc.returncode})")
+    return result
 
 
 def parent() -> int:
-    """Run the measurement in timed child processes and keep the best result.
+    headline = None
 
-    The development tunnel nondeterministically lands some processes/compiled
-    executables in a ~1000x slow mode (see docs/ARCHITECTURE.md notes); a
-    child that hits it would hang the whole benchmark. Children get a hard
-    timeout; the parent retries a few times and emits the best JSON line.
-    """
-    import subprocess
+    # Headline: chunked fps, best of up to 3 salted attempts.
+    for attempt in range(3):
+        r = _run_child("chunked", attempt, timeout=900)
+        if r and (headline is None or r["fps"] > headline["fps"]):
+            headline = r
+        if headline and headline["fps"] >= TARGET_FPS:
+            break
+    # Pallas A/B (diagnostic; flip engine.use_pallas default when it wins).
+    pallas = _run_child("pallas", 7, timeout=900)
+    if pallas:
+        base_fps = headline["fps"] if headline else 0.0
+        log(f"A/B: jnp={base_fps} fps, pallas={pallas['fps']} fps")
+        if headline and pallas["fps"] > headline["fps"]:
+            log("pallas path WINS this run")
+    # Batched multi-sequence (BASELINE scenario): a headline-grade number.
+    batched = None
+    for attempt in (11, 12):
+        batched = _run_child("batched", attempt, timeout=900)
+        if batched:
+            break
+    # Soak + streaming diagnostics.
+    soak = _run_child("soak", 21, timeout=1200)
+    streaming = _run_child("streaming", 31, timeout=900)
 
-    best = None
-    for attempt in range(4):
-        try:
-            env = dict(os.environ, KISS_BENCH_SALT=str(attempt))
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child"],
-                capture_output=True, text=True, timeout=900, env=env,
-            )
-        except subprocess.TimeoutExpired:
-            log(f"attempt {attempt}: timed out (slow-mode process); retrying")
-            continue
-        sys.stderr.write(proc.stderr)
-        line = None
-        for out_line in proc.stdout.strip().splitlines():
-            if out_line.startswith("{"):
-                line = out_line
-        if line is None:
-            log(f"attempt {attempt}: no result (exit {proc.returncode})")
-            continue
-        result = json.loads(line)
-        log(f"attempt {attempt}: {result['value']} {result['unit']}")
-        if best is None or result["value"] > best["value"]:
-            best = result
-        if best["value"] >= TARGET_FPS:
-            break  # fast-mode process found; no need to keep rolling
-    if best is None:
-        best = {"metric": "odometry_frames_per_s_per_chip", "value": 0.0,
-                "unit": "frames/s", "vs_baseline": 0.0}
-    print(json.dumps(best))
+    summary = {"headline": headline, "pallas": pallas, "batched": batched,
+               "soak": soak, "streaming": streaming}
+    log("bench summary: " + json.dumps(summary))
+
+    best = headline["fps"] if headline else 0.0
+    print(json.dumps({
+        "metric": "odometry_frames_per_s_per_chip",
+        "value": best,
+        "unit": "frames/s",
+        "vs_baseline": round(best / TARGET_FPS, 3),
+    }))
+    return 0
+
+
+def main_child(mode: str) -> int:
+    import jax
+
+    log(f"devices: {jax.devices()}")
+    fn = {
+        "chunked": lambda: child_chunked(False),
+        "pallas": lambda: child_chunked(True),
+        "batched": child_batched,
+        "soak": child_soak,
+        "streaming": child_streaming,
+    }[mode]
+    print(json.dumps(fn()), flush=True)
     return 0
 
 
 if __name__ == "__main__":
     if "--child" in sys.argv:
-        sys.exit(main())
+        sys.exit(main_child(sys.argv[sys.argv.index("--child") + 1]))
     sys.exit(parent())
