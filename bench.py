@@ -46,11 +46,12 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def _config(use_pallas=False):
+def _config(use_pallas="auto", map_storage="f32"):
     from kiss_icp_tpu.config.parser import load_config
 
     cfg = load_config(None)  # reference defaults: 100 m range, 1 m voxels
     cfg.data.min_range = 1.0
+    cfg.engine.map_storage = map_storage
     cfg.engine.max_points_per_frame = 65536
     # Capacity planning to the scene statistics (like choosing voxel size):
     # these scans occupy ~6k half-meter voxels; 16384 gives 2.7x headroom.
@@ -89,12 +90,12 @@ def _scans(cfg, n_frames):
 # Child modes. Each prints one JSON result dict on stdout.
 # --------------------------------------------------------------------------
 
-def child_chunked(use_pallas: bool) -> dict:
+def child_chunked(use_pallas, map_storage: str = "f32") -> dict:
     import jax
     from kiss_icp_tpu import metrics
     from kiss_icp_tpu.odometry import init_state, make_chunked_step
 
-    cfg = _config(use_pallas)
+    cfg = _config(use_pallas, map_storage)
     ds, pts, ts, valid = _scans(cfg, N_FRAMES)
     chunk = make_chunked_step(cfg)
 
@@ -134,7 +135,13 @@ def child_chunked(use_pallas: bool) -> dict:
     log(f"accuracy: max_err={np.nanmax(errs):.3f} m final={errs[-1]:.3f} m "
         f"ATE_trans={ate_trans:.3f} m ATE_rot={ate_rot:.4f} rad "
         f"finite={np.all(np.isfinite(est))}")
-    return {"mode": "pallas" if use_pallas else "chunked", "fps": round(best, 2),
+    if map_storage == "u16":
+        mode = "u16"
+    elif use_pallas is False:
+        mode = "jnp"
+    else:
+        mode = "chunked"  # the shipped default: Pallas-on-TPU ("auto")
+    return {"mode": mode, "fps": round(best, 2),
             "ate_trans": round(float(ate_trans), 4)}
 
 
@@ -285,13 +292,16 @@ def parent() -> int:
             headline = r
         if headline and headline["fps"] >= TARGET_FPS:
             break
-    # Pallas A/B (diagnostic; flip engine.use_pallas default when it wins).
-    pallas = _run_child("pallas", 7, timeout=900)
-    if pallas:
-        base_fps = headline["fps"] if headline else 0.0
-        log(f"A/B: jnp={base_fps} fps, pallas={pallas['fps']} fps")
-        if headline and pallas["fps"] > headline["fps"]:
-            log("pallas path WINS this run")
+    # Pallas A/B: the headline already runs the shipped default (Pallas on
+    # TPU); "jnp" forces the einsum path as the reference point.
+    jnp_ab = _run_child("jnp", 7, timeout=900)
+    if jnp_ab and headline:
+        log(f"A/B: pallas(default)={headline['fps']} fps, jnp={jnp_ab['fps']} fps")
+    # Quantized-map A/B (u16 voxel-relative point store).
+    u16 = _run_child("u16", 8, timeout=900)
+    if u16 and headline:
+        log(f"A/B: f32-map={headline['fps']} fps, u16-map={u16['fps']} fps "
+            f"(ate {headline['ate_trans']} vs {u16['ate_trans']})")
     # Batched multi-sequence (BASELINE scenario): a headline-grade number.
     batched = None
     for attempt in (11, 12):
@@ -302,8 +312,8 @@ def parent() -> int:
     soak = _run_child("soak", 21, timeout=1200)
     streaming = _run_child("streaming", 31, timeout=900)
 
-    summary = {"headline": headline, "pallas": pallas, "batched": batched,
-               "soak": soak, "streaming": streaming}
+    summary = {"headline": headline, "jnp": jnp_ab, "u16": u16,
+               "batched": batched, "soak": soak, "streaming": streaming}
     log("bench summary: " + json.dumps(summary))
 
     best = headline["fps"] if headline else 0.0
@@ -321,8 +331,9 @@ def main_child(mode: str) -> int:
 
     log(f"devices: {jax.devices()}")
     fn = {
-        "chunked": lambda: child_chunked(False),
-        "pallas": lambda: child_chunked(True),
+        "chunked": lambda: child_chunked("auto"),
+        "jnp": lambda: child_chunked(False),
+        "u16": lambda: child_chunked("auto", "u16"),
         "batched": child_batched,
         "soak": child_soak,
         "streaming": child_streaming,

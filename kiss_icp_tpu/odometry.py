@@ -47,6 +47,18 @@ class FrameResult(NamedTuple):
     num_dropped_map_voxels: jnp.ndarray  # () new voxels lost to map probe overflow
 
 
+def resolve_use_pallas(config: KISSConfig) -> bool:
+    """engine.use_pallas: "auto" -> Pallas iff running on TPU (compiled
+    Mosaic); True/False force the path (True off-TPU = interpret mode,
+    test-only)."""
+    val = config.engine.use_pallas
+    if isinstance(val, str):
+        if val == "auto":
+            return jax.default_backend() == "tpu"
+        return val.lower() in ("1", "true", "yes")
+    return bool(val)
+
+
 def map_config(config: KISSConfig) -> hash_map.MapConfig:
     """Static map parameters derived from the runtime config."""
     return hash_map.MapConfig(
@@ -56,6 +68,7 @@ def map_config(config: KISSConfig) -> hash_map.MapConfig:
         capacity_log2=int(config.engine.map_capacity_log2),
         probe_length=int(config.engine.probe_length),
         group_capacity=int(config.engine.group_capacity),
+        storage=str(config.engine.map_storage),
     )
 
 
@@ -129,7 +142,7 @@ def register_frame(
         sigma,
         max_iterations=int(config.registration.max_num_iterations),
         convergence=float(config.registration.convergence_criterion),
-        use_pallas=bool(config.engine.use_pallas),
+        use_pallas=resolve_use_pallas(config),
     )
     new_pose = align.pose
 

@@ -56,7 +56,20 @@ _NEIGHBOR_SHIFTS = np.array(
 
 @dataclass(frozen=True)
 class MapConfig:
-    """Static (compile-time) configuration of the voxel map."""
+    """Static (compile-time) configuration of the voxel map.
+
+    `storage` selects the point-store layout:
+      * "f32" — absolute float32 coordinates (bit-exact reference semantics).
+      * "u16" — 16-bit fixed-point offsets from the owning voxel's corner.
+        A point in voxel k lies in [k*v, (k+1)*v) per axis, so the offset
+        fits [0, v) and u16 quantization resolves v/65535 (~15 um at 1 m
+        voxels — two orders below sensor noise, and finer than f32 itself at
+        kilometer world scale). HALVES the bytes moved by the hottest op in
+        the pipeline (the 27-voxel NN point-row gather, SURVEY.md section
+        3.1) and the map's HBM footprint. No reference analog: robin_map
+        stores absolute Vector3d (f64); quantized voxel-relative storage is
+        the TPU-native bandwidth play.
+    """
 
     voxel_size: float = 1.0
     max_distance: float = 100.0
@@ -64,6 +77,7 @@ class MapConfig:
     capacity_log2: int = 18
     probe_length: int = 16
     group_capacity: int = 16
+    storage: str = "f32"
 
     @property
     def capacity(self) -> int:
@@ -72,6 +86,10 @@ class MapConfig:
     @property
     def map_resolution_sq(self) -> float:
         return self.voxel_size * self.voxel_size / self.max_points_per_voxel
+
+    @property
+    def point_dtype(self):
+        return jnp.uint16 if self.storage == "u16" else jnp.float32
 
 
 class VoxelMap(NamedTuple):
@@ -91,10 +109,35 @@ def create_map(cfg: MapConfig) -> VoxelMap:
         vkeys=jnp.zeros((c, 3), jnp.int32),
         fprints=jnp.zeros((c,), jnp.int32),
         counts=jnp.zeros((c,), jnp.int32),
-        points=jnp.zeros((c, p, 3), jnp.float32),
+        points=jnp.zeros((c, p, 3), cfg.point_dtype),
         total_points=jnp.zeros((), jnp.int32),
         num_dropped_voxels=jnp.zeros((), jnp.int32),
     )
+
+
+_U16_SCALE = 65535.0
+
+
+def encode_points(cfg: MapConfig, points: jnp.ndarray,
+                  vkeys: jnp.ndarray) -> jnp.ndarray:
+    """World f32 (..., 3) -> stored representation, given owning voxel coords
+    (..., 3) int32. Identity for f32 storage."""
+    if cfg.storage == "f32":
+        return points.astype(jnp.float32)
+    v = jnp.float32(cfg.voxel_size)
+    off = points - vkeys.astype(jnp.float32) * v
+    q = jnp.round(off * (_U16_SCALE / v))
+    return jnp.clip(q, 0.0, _U16_SCALE).astype(jnp.uint16)
+
+
+def decode_points(cfg: MapConfig, stored: jnp.ndarray,
+                  vkeys: jnp.ndarray) -> jnp.ndarray:
+    """Stored representation -> world f32, given owning voxel coords."""
+    if cfg.storage == "f32":
+        return stored
+    v = jnp.float32(cfg.voxel_size)
+    corner = vkeys.astype(jnp.float32) * v
+    return stored.astype(jnp.float32) * (v / _U16_SCALE) + corner
 
 
 def _mix(h: jnp.ndarray) -> jnp.ndarray:
@@ -181,7 +224,11 @@ def query_nearest(cfg: MapConfig, m: VoxelMap, queries: jnp.ndarray,
     has_voxel = has_voxel & exact
 
     cnt = m.counts[slot]  # (N, 27)
-    pts = m.points[slot]  # (N, 27, P, 3) row gather
+    # THE hot gather of the pipeline (reference GetClosestNeighbor's inner
+    # probe, VoxelHashMap.cpp:46-70): u16 storage halves its bytes; the
+    # decode corner is the neighbor voxel coordinate we already hold (only
+    # exact-matched slots survive the mask, where slot vkey == neigh).
+    pts = decode_points(cfg, m.points[slot], neigh[..., None, :])  # (N,27,P,3)
 
     d2 = jnp.sum((queries[:, None, None, :] - pts) ** 2, axis=-1)  # (N, 27, P)
     in_range = jnp.arange(p, dtype=jnp.int32)[None, None, :] < cnt[..., None]
@@ -282,7 +329,10 @@ def insert(cfg: MapConfig, m: VoxelMap, points: jnp.ndarray,
     slot_safe = jnp.where(has_slot, slot, 0)
 
     # --- Phase C: sequential accept/reject of candidates, vectorized over voxels.
-    stored = m.points[slot_safe]  # (V, P, 3)
+    # Work in decoded f32 (the corner is this group's voxel: existing slots
+    # matched exactly on the key, claimed slots have count 0 so their stale
+    # contents are masked below).
+    stored = decode_points(cfg, m.points[slot_safe], groups.coords[:, None, :])
     cnt = jnp.where(has_slot, m.counts[slot_safe], 0)  # claimed slots have count 0
 
     res_sq = jnp.asarray(cfg.map_resolution_sq, stored.dtype)
@@ -306,9 +356,11 @@ def insert(cfg: MapConfig, m: VoxelMap, points: jnp.ndarray,
         0, cfg.group_capacity, accept_step, (stored, cnt, jnp.zeros((), jnp.int32))
     )
 
-    # --- Phase D: write rows back.
+    # --- Phase D: write rows back (re-encoded for quantized storage; the
+    # u16 roundtrip is a fixpoint, so untouched lanes keep their exact bits).
     write_idx = jnp.where(has_slot, slot_safe, cap)
-    new_points = m.points.at[write_idx].set(stored, mode="drop")
+    stored_out = encode_points(cfg, stored, groups.coords[:, None, :])
+    new_points = m.points.at[write_idx].set(stored_out, mode="drop")
     new_counts = m.counts.at[write_idx].set(cnt, mode="drop")
 
     new_map = VoxelMap(
@@ -326,7 +378,7 @@ def insert(cfg: MapConfig, m: VoxelMap, points: jnp.ndarray,
 def trim(cfg: MapConfig, m: VoxelMap, origin: jnp.ndarray) -> VoxelMap:
     """Remove voxels whose FIRST stored point is >= max_distance from origin
     (reference RemovePointsFarFromLocation, VoxelHashMap.cpp:121-132)."""
-    first_pt = m.points[:, 0, :]  # (C, 3)
+    first_pt = decode_points(cfg, m.points[:, 0, :], m.vkeys)  # (C, 3)
     d2 = jnp.sum((first_pt - origin[None, :]) ** 2, axis=-1)
     live = m.counts > 0
     kill = live & (d2 >= cfg.max_distance * cfg.max_distance)
@@ -345,7 +397,8 @@ def extract_points(cfg: MapConfig, m: VoxelMap) -> Tuple[jnp.ndarray, jnp.ndarra
     VoxelHashMap.cpp:72-81). Mainly for visualization and tests."""
     p = cfg.max_points_per_voxel
     mask = jnp.arange(p, dtype=jnp.int32)[None, :] < m.counts[:, None]
-    return m.points.reshape(-1, 3), mask.reshape(-1)
+    pts = decode_points(cfg, m.points, m.vkeys[:, None, :])
+    return pts.reshape(-1, 3), mask.reshape(-1)
 
 
 def is_empty(m: VoxelMap) -> jnp.ndarray:
