@@ -46,12 +46,13 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def _config(use_pallas="auto", map_storage="f32"):
+def _config(use_pallas="auto", map_storage="f32", probe_length=16):
     from kiss_icp_tpu.config.parser import load_config
 
     cfg = load_config(None)  # reference defaults: 100 m range, 1 m voxels
     cfg.data.min_range = 1.0
     cfg.engine.map_storage = map_storage
+    cfg.engine.probe_length = probe_length
     cfg.engine.max_points_per_frame = 65536
     # Capacity planning to the scene statistics (like choosing voxel size):
     # these scans occupy ~6k half-meter voxels; 16384 gives 2.7x headroom.
@@ -90,12 +91,13 @@ def _scans(cfg, n_frames):
 # Child modes. Each prints one JSON result dict on stdout.
 # --------------------------------------------------------------------------
 
-def child_chunked(use_pallas, map_storage: str = "f32") -> dict:
+def child_chunked(use_pallas, map_storage: str = "f32",
+                  probe_length: int = 16, mode: str = None) -> dict:
     import jax
     from kiss_icp_tpu import metrics
     from kiss_icp_tpu.odometry import init_state, make_chunked_step
 
-    cfg = _config(use_pallas, map_storage)
+    cfg = _config(use_pallas, map_storage, probe_length)
     ds, pts, ts, valid = _scans(cfg, N_FRAMES)
     chunk = make_chunked_step(cfg)
 
@@ -135,12 +137,13 @@ def child_chunked(use_pallas, map_storage: str = "f32") -> dict:
     log(f"accuracy: max_err={np.nanmax(errs):.3f} m final={errs[-1]:.3f} m "
         f"ATE_trans={ate_trans:.3f} m ATE_rot={ate_rot:.4f} rad "
         f"finite={np.all(np.isfinite(est))}")
-    if map_storage == "u16":
-        mode = "u16"
-    elif use_pallas is False:
-        mode = "jnp"
-    else:
-        mode = "chunked"  # the shipped default: Pallas-on-TPU ("auto")
+    if mode is None:
+        if map_storage == "u16":
+            mode = "u16"
+        elif use_pallas is False:
+            mode = "jnp"
+        else:
+            mode = "chunked"  # the shipped default: Pallas-on-TPU ("auto")
     return {"mode": mode, "fps": round(best, 2),
             "ate_trans": round(float(ate_trans), 4)}
 
@@ -297,11 +300,16 @@ def parent() -> int:
     jnp_ab = _run_child("jnp", 7, timeout=900)
     if jnp_ab and headline:
         log(f"A/B: pallas(default)={headline['fps']} fps, jnp={jnp_ab['fps']} fps")
-    # Quantized-map A/B (u16 voxel-relative point store).
+    # Quantized-map A/B (u16 voxel-relative point store), then the fully
+    # tuned variant (u16 + probe window 8 — half the gather bytes).
     u16 = _run_child("u16", 8, timeout=900)
     if u16 and headline:
         log(f"A/B: f32-map={headline['fps']} fps, u16-map={u16['fps']} fps "
             f"(ate {headline['ate_trans']} vs {u16['ate_trans']})")
+    tuned = _run_child("tuned", 9, timeout=900)
+    if tuned and headline:
+        log(f"A/B: default={headline['fps']} fps, tuned(u16+K8)={tuned['fps']} fps "
+            f"(ate {tuned['ate_trans']})")
     # Batched multi-sequence (BASELINE scenario): a headline-grade number.
     batched = None
     for attempt in (11, 12):
@@ -309,11 +317,16 @@ def parent() -> int:
         if batched:
             break
     # Soak + streaming diagnostics.
-    soak = _run_child("soak", 21, timeout=1200)
+    soak = None
+    for attempt in (21, 22):
+        soak = _run_child("soak", attempt, timeout=1200)
+        if soak:
+            break
     streaming = _run_child("streaming", 31, timeout=900)
 
     summary = {"headline": headline, "jnp": jnp_ab, "u16": u16,
-               "batched": batched, "soak": soak, "streaming": streaming}
+               "tuned": tuned, "batched": batched, "soak": soak,
+               "streaming": streaming}
     log("bench summary: " + json.dumps(summary))
 
     best = headline["fps"] if headline else 0.0
@@ -334,6 +347,7 @@ def main_child(mode: str) -> int:
         "chunked": lambda: child_chunked("auto"),
         "jnp": lambda: child_chunked(False),
         "u16": lambda: child_chunked("auto", "u16"),
+        "tuned": lambda: child_chunked("auto", "u16", 8, "tuned"),
         "batched": child_batched,
         "soak": child_soak,
         "streaming": child_streaming,

@@ -45,6 +45,7 @@ class FrameResult(NamedTuple):
     num_correspondences: jnp.ndarray  # () correspondences at convergence
     num_dropped_downsample: jnp.ndarray  # () voxels lost to frame/source capacity
     num_dropped_map_voxels: jnp.ndarray  # () new voxels lost to map probe overflow
+    used_fallback: jnp.ndarray  # () bool — non-finite registration, pose predicted
 
 
 def resolve_use_pallas(config: KISSConfig) -> bool:
@@ -144,7 +145,16 @@ def register_frame(
         convergence=float(config.registration.convergence_criterion),
         use_pallas=resolve_use_pallas(config),
     )
-    new_pose = align.pose
+    # Degraded-mode guard (no reference analog — its f64 merely postpones the
+    # blow-up): if registration ever yields a non-finite pose, fall back to
+    # the constant-velocity prediction for this frame. The pose stream stays
+    # finite through arbitrary sensor garbage; `used_fallback` surfaces it.
+    pose_finite = jnp.all(jnp.isfinite(align.pose))
+    new_pose = jnp.where(pose_finite, align.pose, initial_guess)
+    # Project the rotation back onto SO(3): Sophus renormalizes quaternions on
+    # every composition; f32 matrix drift otherwise compounds across frames
+    # (see se3.orthonormalize).
+    new_pose = se3.orthonormalize(new_pose)
 
     # 6.-7. Model deviation feeds the threshold estimator.
     model_deviation = se3.inverse(initial_guess) @ new_pose
@@ -181,6 +191,7 @@ def register_frame(
         num_correspondences=align.num_correspondences,
         num_dropped_downsample=frame_ds.num_dropped + source.num_dropped,
         num_dropped_map_voxels=insert_stats.num_dropped_voxels,
+        used_fallback=~pose_finite,
     )
     return new_state, result
 
@@ -201,6 +212,7 @@ class ChunkSummary(NamedTuple):
     num_correspondences: jnp.ndarray  # (K,)
     num_dropped_downsample: jnp.ndarray  # (K,)
     num_dropped_map_voxels: jnp.ndarray  # (K,)
+    used_fallback: jnp.ndarray  # (K,) bool
 
 
 def make_chunked_step(config: KISSConfig):
@@ -216,12 +228,13 @@ def make_chunked_step(config: KISSConfig):
             s2, res = register_frame(config, s, p, t, v)
             return s2, (res.pose, res.sigma, res.num_iterations,
                         res.num_correspondences, res.num_dropped_downsample,
-                        res.num_dropped_map_voxels)
+                        res.num_dropped_map_voxels, res.used_fallback)
 
-        state, (poses, sigmas, iters, corr, drop_ds, drop_map) = jax.lax.scan(
+        state, (poses, sigmas, iters, corr, drop_ds, drop_map, fb) = jax.lax.scan(
             body, state, (points, timestamps, valid)
         )
-        return state, ChunkSummary(poses, sigmas, iters, corr, drop_ds, drop_map)
+        return state, ChunkSummary(poses, sigmas, iters, corr, drop_ds,
+                                   drop_map, fb)
 
     donate = (0,) if config.engine.donate_state else ()
     return jax.jit(chunk, donate_argnums=donate)

