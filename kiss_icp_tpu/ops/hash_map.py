@@ -223,6 +223,12 @@ def query_nearest(cfg: MapConfig, m: VoxelMap, queries: jnp.ndarray,
     exact = jnp.all(m.vkeys[slot] == neigh, axis=-1)  # (N, 27)
     has_voxel = has_voxel & exact
 
+    # Nonexistent neighbors (~2/3 of probes on surface scans) all gather slot
+    # 0 instead of a random slot: their rows are masked below anyway, and a
+    # single repeated row is far kinder to the gather path than scattered
+    # garbage rows.
+    slot = jnp.where(has_voxel, slot, 0)
+
     cnt = m.counts[slot]  # (N, 27)
     # THE hot gather of the pipeline (reference GetClosestNeighbor's inner
     # probe, VoxelHashMap.cpp:46-70): u16 storage halves its bytes; the

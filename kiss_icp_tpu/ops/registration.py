@@ -103,6 +103,73 @@ class AlignResult(NamedTuple):
     num_correspondences: jnp.ndarray  # () int32 — at the last iteration
 
 
+def gauss_newton_loop(
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    initial_guess: jnp.ndarray,
+    max_distance: jnp.ndarray,
+    kernel_scale: jnp.ndarray,
+    *,
+    query_fn,
+    max_iterations: int,
+    convergence: float,
+    linsys_fn=build_linear_system,
+    reduce_fn=lambda ls: ls,
+    linsys_mask=None,
+):
+    """The shared ICP while-loop (reference Registration.cpp:151-164).
+
+    One implementation serves the single-device solver and both distributed
+    variants — they differ only in how neighbors are found and how the
+    normal equations reduce:
+
+      * query_fn(src) -> (distances (N,), neighbors (N,3)) — NN association
+        (local 27-voxel gather, optionally combined across map shards).
+      * reduce_fn(LinearSystem) -> LinearSystem — identity on one device,
+        psum over a mesh axis when correspondences are sharded.
+      * linsys_mask (N,) — optional extra mask on the correspondences used
+        for the reduction (e.g. a 1/D stripe per device).
+
+    Returns (t_icp (4,4), iterations ()) with t_icp the correction such that
+    final pose = t_icp @ initial_guess.
+    """
+    guess = initial_guess.astype(jnp.float32)
+    src0 = se3.transform(guess, points)
+    center = guess[:3, 3]
+
+    def cond(carry):
+        _, _, it, done = carry
+        return (it < max_iterations) & ~done
+
+    def body(carry):
+        src, t_icp, it, _ = carry
+        dist, neighbors = query_fn(src)
+        corr = jnp.isfinite(dist) & valid & (dist < max_distance)
+        ls_mask = corr if linsys_mask is None else corr & linsys_mask
+        ls = reduce_fn(linsys_fn(src, neighbors, ls_mask, kernel_scale, center))
+        dx = solve_increment(ls)
+        est_local = se3.se3_exp(dx)
+        # Conjugate the recentered increment back to the world frame.
+        est = est_local.at[:3, 3].add(center - est_local[:3, :3] @ center)
+        src = se3.transform(est, src)
+        t_icp = est @ t_icp
+        # Convergence uses the increment expressed at the WORLD origin like
+        # the reference (`dx.norm() < criterion`, Registration.cpp:163): the
+        # recentered dx has the smaller translation |v - w x c| — stopping on
+        # it alone would terminate earlier than the reference every frame.
+        v, w = dx[:3], dx[3:]
+        v_world = v - jnp.cross(w, center)
+        done = jnp.sqrt(jnp.sum(v_world * v_world) + jnp.sum(w * w)) < convergence
+        return src, t_icp, it + 1, done
+
+    _, t_icp, iters, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (src0, se3.identity(), jnp.zeros((), jnp.int32), jnp.zeros((), bool)),
+    )
+    return t_icp, iters
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "max_iterations", "convergence", "use_pallas")
 )
@@ -126,8 +193,6 @@ def align_points_to_map(
     `|dx| < convergence` or `max_iterations`.
     """
     guess = initial_guess.astype(jnp.float32)
-    src0 = se3.transform(guess, points)
-    center = guess[:3, 3]
 
     if use_pallas:
         from kiss_icp_tpu.ops.pallas_kernels import build_linear_system_fused
@@ -136,32 +201,14 @@ def align_points_to_map(
     else:
         linsys = build_linear_system
 
-    def cond(carry):
-        _, _, it, done = carry
-        return (it < max_iterations) & ~done
-
-    def body(carry):
-        src, t_icp, it, _ = carry
+    def query_fn(src):
         q = hash_map.query_nearest(cfg, m, src, valid)
-        corr = q.found & (q.distances < max_distance)
-        ls = linsys(src, q.neighbors, corr, kernel_scale, center)
-        dx = solve_increment(ls)
-        est_local = se3.se3_exp(dx)
-        # Conjugate the recentered increment back to the world frame.
-        est = est_local.at[:3, 3].add(center - est_local[:3, :3] @ center)
-        src = se3.transform(est, src)
-        t_icp = est @ t_icp
-        # Convergence uses the increment expressed at the WORLD origin like the
-        # reference (`dx.norm() < criterion`, Registration.cpp:163): the
-        # recentered dx has the smaller translation |v - w x c|... stopping on
-        # it alone would terminate earlier than the reference every frame.
-        v, w = dx[:3], dx[3:]
-        v_world = v - jnp.cross(w, center)
-        done = jnp.sqrt(jnp.sum(v_world * v_world) + jnp.sum(w * w)) < convergence
-        return src, t_icp, it + 1, done
+        return q.distances, q.neighbors
 
-    _, t_icp, iters, _ = jax.lax.while_loop(
-        cond, body, (src0, se3.identity(), jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    t_icp, iters = gauss_newton_loop(
+        points, valid, guess, max_distance, kernel_scale,
+        query_fn=query_fn, max_iterations=max_iterations,
+        convergence=convergence, linsys_fn=linsys,
     )
 
     # Final correspondence count for diagnostics (one extra association).

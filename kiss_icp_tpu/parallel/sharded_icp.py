@@ -49,40 +49,23 @@ def make_sharded_align(
     def _align_shard(m, points, valid, guess, max_distance, kernel_scale):
         # Runs per device on a (N/devices, 3) shard; map/pose replicated.
         guess = guess.astype(jnp.float32)
-        src0 = se3.transform(guess, points)
-        center = guess[:3, 3]
 
-        def cond(carry):
-            _, _, it, done = carry
-            return (it < max_iterations) & ~done
-
-        def body(carry):
-            src, t_icp, it, _ = carry
+        def query_fn(src):
             q = hash_map.query_nearest(cfg, m, src, valid)
-            corr = q.found & (q.distances < max_distance)
-            ls = registration.build_linear_system(
-                src, q.neighbors, corr, kernel_scale, center
-            )
-            # The distributed reduction: 6x6 + 6 + 1 scalars over ICI.
-            jtj = jax.lax.psum(ls.jtj, axis)
-            jtr = jax.lax.psum(ls.jtr, axis)
-            ncorr = jax.lax.psum(ls.num_correspondences, axis)
-            dx = registration.solve_increment(
-                registration.LinearSystem(jtj, jtr, ncorr)
-            )
-            est_local = se3.se3_exp(dx)
-            est = est_local.at[:3, 3].add(center - est_local[:3, :3] @ center)
-            src = se3.transform(est, src)
-            t_icp = est @ t_icp
-            v, w = dx[:3], dx[3:]
-            v_world = v - jnp.cross(w, center)
-            done = jnp.sqrt(jnp.sum(v_world * v_world) + jnp.sum(w * w)) < convergence
-            return src, t_icp, it + 1, done
+            return q.distances, q.neighbors
 
-        _, t_icp, iters, _ = jax.lax.while_loop(
-            cond,
-            body,
-            (src0, se3.identity(), jnp.zeros((), jnp.int32), jnp.zeros((), bool)),
+        def reduce_fn(ls):
+            # The distributed reduction: 6x6 + 6 + 1 scalars over ICI.
+            return registration.LinearSystem(
+                jax.lax.psum(ls.jtj, axis),
+                jax.lax.psum(ls.jtr, axis),
+                jax.lax.psum(ls.num_correspondences, axis),
+            )
+
+        t_icp, iters = registration.gauss_newton_loop(
+            points, valid, guess, max_distance, kernel_scale,
+            query_fn=query_fn, max_iterations=max_iterations,
+            convergence=convergence, reduce_fn=reduce_fn,
         )
 
         q = hash_map.query_nearest(cfg, m, se3.transform(t_icp @ guess, points), valid)

@@ -198,46 +198,29 @@ def make_map_sharded_step(config: KISSConfig, mesh: Mesh):
 
         # 5. ICP with sharded association + psum'd normal equations.
         guess = initial_guess.astype(jnp.float32)
-        src0 = se3.transform(guess, source.points)
-        center = guess[:3, 3]
         n_src = source.points.shape[0]
         my_stripe = (jnp.arange(n_src, dtype=jnp.int32) % n_shards) == sid
         global_empty = jax.lax.psum(m.total_points, MAP_AXIS) == 0
 
-        def cond(carry):
-            _, _, it, done = carry
-            return (it < max_iterations) & ~done
-
-        def body(carry):
-            src, t_icp, it, _ = carry
+        def query_fn(src):
             q = hash_map.query_nearest(mcfg_local, m, src, source.valid)
             d2, nn = _ring_min_combine(
                 jnp.square(q.distances), q.neighbors, MAP_AXIS, n_shards
             )
-            dist = jnp.sqrt(d2)
-            corr = jnp.isfinite(dist) & source.valid & (dist < max_distance)
-            ls = registration.build_linear_system(
-                src, nn, corr & my_stripe, sigma, center
-            )
-            jtj = jax.lax.psum(ls.jtj, MAP_AXIS)
-            jtr = jax.lax.psum(ls.jtr, MAP_AXIS)
-            ncorr = jax.lax.psum(ls.num_correspondences, MAP_AXIS)
-            dx = registration.solve_increment(
-                registration.LinearSystem(jtj, jtr, ncorr)
-            )
-            est_local = se3.se3_exp(dx)
-            est = est_local.at[:3, 3].add(center - est_local[:3, :3] @ center)
-            src = se3.transform(est, src)
-            t_icp = est @ t_icp
-            v, w = dx[:3], dx[3:]
-            v_world = v - jnp.cross(w, center)
-            done = jnp.sqrt(jnp.sum(v_world * v_world) + jnp.sum(w * w)) < convergence
-            return src, t_icp, it + 1, done
+            return jnp.sqrt(d2), nn
 
-        _, t_icp, _, _ = jax.lax.while_loop(
-            cond,
-            body,
-            (src0, se3.identity(), jnp.zeros((), jnp.int32), jnp.zeros((), bool)),
+        def reduce_fn(ls):
+            return registration.LinearSystem(
+                jax.lax.psum(ls.jtj, MAP_AXIS),
+                jax.lax.psum(ls.jtr, MAP_AXIS),
+                jax.lax.psum(ls.num_correspondences, MAP_AXIS),
+            )
+
+        t_icp, _ = registration.gauss_newton_loop(
+            source.points, source.valid, guess, max_distance, sigma,
+            query_fn=query_fn, max_iterations=max_iterations,
+            convergence=convergence, reduce_fn=reduce_fn,
+            linsys_mask=my_stripe,
         )
         new_pose = jnp.where(global_empty, guess, t_icp @ guess)
         new_pose = jnp.where(jnp.all(jnp.isfinite(new_pose)), new_pose,
