@@ -100,6 +100,12 @@ class MultihostBatchedOdometry:
             self.mesh, P(pbatch.SEQ_AXIS, pbatch.PTS_AXIS)
         )
         self._step = pbatch.make_batched_step(config, self.mesh)
+        # Poses come out of the step sharded over "seq"; across processes the
+        # remote shards are non-addressable, so a host read needs an explicit
+        # replication (XLA lowers this to an all-gather over the mesh).
+        self._replicate = jax.jit(
+            lambda x: x, out_shardings=NamedSharding(self.mesh, P())
+        )
         self.state = jax.device_put(
             pbatch.init_batched_state(config, global_batch),
             pbatch.batched_state_sharding(self.mesh),
@@ -136,7 +142,8 @@ class MultihostBatchedOdometry:
             self._global_array(ts),
             self._global_array(valid),
         )
-        return np.asarray(jax.device_get(result.pose))
+        replicated = self._replicate(result.pose)
+        return np.asarray(replicated.addressable_data(0))
 
 
 def launch_info() -> str:
