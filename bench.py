@@ -10,8 +10,9 @@ All other measurements go to stderr as diagnostics:
 
   * chunked    — the headline: K frames advance under one `lax.scan`
                  (production deployment shape; state never leaves the device).
-  * pallas     — same, with the fused Pallas linear-system kernel in the ICP
-                 loop (engine.use_pallas): the A/B that decides the default.
+  * ab         — the variant matrix (Pallas linsys on/off, f32/u16 map
+                 storage, probe window, nn_mode) timed interleaved in ONE
+                 child: the A/B that decides the shipped defaults.
   * batched    — B independent sequences in lockstep (BASELINE "all sequences
                  in parallel"); timing only, results validated on the CPU mesh
                  (large-output d2h reads fault through the dev tunnel).
@@ -46,13 +47,16 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def _config(use_pallas="auto", map_storage="f32", probe_length=16):
+def _config(use_pallas="auto", map_storage="f32", probe_length=16,
+            nn_mode="gather27"):
     from kiss_icp_tpu.config.parser import load_config
 
     cfg = load_config(None)  # reference defaults: 100 m range, 1 m voxels
     cfg.data.min_range = 1.0
     cfg.engine.map_storage = map_storage
     cfg.engine.probe_length = probe_length
+    cfg.engine.nn_mode = nn_mode
+    cfg.engine.nn_live_capacity_log2 = 14
     cfg.engine.max_points_per_frame = 65536
     # Capacity planning to the scene statistics (like choosing voxel size):
     # these scans occupy ~6k half-meter voxels; 16384 gives 2.7x headroom.
@@ -146,6 +150,68 @@ def child_chunked(use_pallas, map_storage: str = "f32",
             mode = "chunked"  # the shipped default: Pallas-on-TPU ("auto")
     return {"mode": mode, "fps": round(best, 2),
             "ate_trans": round(float(ate_trans), 4)}
+
+
+AB_VARIANTS = {
+    # name -> (use_pallas, map_storage, probe_length, nn_mode)
+    "jnp": (False, "f32", 16, "gather27"),
+    "pallas": ("auto", "f32", 16, "gather27"),
+    "u16": ("auto", "u16", 16, "gather27"),
+    "u16_k8": ("auto", "u16", 8, "gather27"),
+    "loop27": ("auto", "u16", 8, "loop27"),
+    "compact": ("auto", "u16", 8, "compact"),
+    "compact_loop": ("auto", "u16", 8, "compact_loop"),
+    "fused": ("auto", "u16", 8, "pallas_fused"),
+    "fused_f32": ("auto", "f32", 8, "pallas_fused"),
+}
+
+
+def child_ab() -> dict:
+    """All kernel/layout variants timed in one process, CONSECUTIVE rounds per
+    variant.
+
+    Tunnel measurement facts (2026-08-17): the ~1000x/-40x slow-execution
+    lottery is drawn per (process, program) — identical configs scored 1079
+    vs 1690 fps in sibling children, and an interleaved round-robin over 7
+    programs in one process left 6 of them pinned ~30x slow (switching
+    executables every dispatch evicts whatever the tunnel caches per
+    program). Consecutive per-variant rounds give each program its fair
+    fast-path shot; the parent merges per-variant maxima over two salted
+    children to wash out per-program bad draws.
+    """
+    import jax
+    from kiss_icp_tpu.odometry import init_state, make_chunked_step
+
+    _, pts, ts, valid = _scans(_config(), N_FRAMES)
+
+    best = {}
+    for name, (up, storage, k, nn) in AB_VARIANTS.items():
+        cfg = _config(up, storage, k, nn)
+        chunk = make_chunked_step(cfg)
+        t0 = time.perf_counter()
+        state = init_state(cfg)
+        state, summary = chunk(state, pts, ts, valid)
+        jax.block_until_ready(summary.poses)
+        compile_s = time.perf_counter() - t0
+        rounds = []
+        for _ in range(4):
+            st = init_state(cfg)
+            t0 = time.perf_counter()
+            st, summary = chunk(st, pts, ts, valid)
+            jax.block_until_ready(summary.poses)
+            rounds.append(N_FRAMES / (time.perf_counter() - t0))
+        best[name] = max(rounds)
+        # Drop-counter read right here: d2h reads poison only THIS program's
+        # later executions, and this variant is done being timed (bulk reads
+        # of many variants' summaries at the end were observed to stall for
+        # tens of minutes through the tunnel).
+        drops = (int(np.sum(np.asarray(summary.num_dropped_downsample)))
+                 + int(np.sum(np.asarray(summary.num_dropped_map_voxels))))
+        log(f"ab {name}: compile {compile_s:.1f}s, rounds "
+            + " ".join(f"{r:.0f}" for r in rounds) + f" drops={drops}")
+        assert drops == 0, f"capacity overflow in variant {name}"
+        del state, st, summary
+    return {"mode": "ab", **{n: round(v, 2) for n, v in best.items()}}
 
 
 def child_batched() -> dict:
@@ -295,21 +361,16 @@ def parent() -> int:
             headline = r
         if headline and headline["fps"] >= TARGET_FPS:
             break
-    # Pallas A/B: the headline already runs the shipped default (Pallas on
-    # TPU); "jnp" forces the einsum path as the reference point.
-    jnp_ab = _run_child("jnp", 7, timeout=900)
-    if jnp_ab and headline:
-        log(f"A/B: pallas(default)={headline['fps']} fps, jnp={jnp_ab['fps']} fps")
-    # Quantized-map A/B (u16 voxel-relative point store), then the fully
-    # tuned variant (u16 + probe window 8 — half the gather bytes).
-    u16 = _run_child("u16", 8, timeout=900)
-    if u16 and headline:
-        log(f"A/B: f32-map={headline['fps']} fps, u16-map={u16['fps']} fps "
-            f"(ate {headline['ate_trans']} vs {u16['ate_trans']})")
-    tuned = _run_child("tuned", 9, timeout=900)
-    if tuned and headline:
-        log(f"A/B: default={headline['fps']} fps, tuned(u16+K8)={tuned['fps']} fps "
-            f"(ate {tuned['ate_trans']})")
+    # Variant A/B matrix: consecutive per-variant rounds, per-variant maxima
+    # merged over two salted children (see child_ab for the tunnel facts).
+    ab = None
+    for attempt in (7, 8):
+        r = _run_child("ab", attempt, timeout=1800)
+        if r and ab:
+            ab = {k: max(ab.get(k, 0), v) if isinstance(v, (int, float)) else v
+                  for k, v in r.items()}
+        elif r:
+            ab = r
     # Batched multi-sequence (BASELINE scenario): a headline-grade number.
     batched = None
     for attempt in (11, 12):
@@ -324,9 +385,8 @@ def parent() -> int:
             break
     streaming = _run_child("streaming", 31, timeout=900)
 
-    summary = {"headline": headline, "jnp": jnp_ab, "u16": u16,
-               "tuned": tuned, "batched": batched, "soak": soak,
-               "streaming": streaming}
+    summary = {"headline": headline, "ab": ab, "batched": batched,
+               "soak": soak, "streaming": streaming}
     log("bench summary: " + json.dumps(summary))
 
     best = headline["fps"] if headline else 0.0
@@ -345,9 +405,7 @@ def main_child(mode: str) -> int:
     log(f"devices: {jax.devices()}")
     fn = {
         "chunked": lambda: child_chunked("auto"),
-        "jnp": lambda: child_chunked(False),
-        "u16": lambda: child_chunked("auto", "u16"),
-        "tuned": lambda: child_chunked("auto", "u16", 8, "tuned"),
+        "ab": child_ab,
         "batched": child_batched,
         "soak": child_soak,
         "streaming": child_streaming,

@@ -75,6 +75,25 @@ class EngineConfig:
     # voxels) — halves the bytes of the NN gather, the pipeline's hottest op,
     # and the map's HBM footprint. See ops/hash_map.MapConfig.storage.
     map_storage: str = "f32"
+    # Data-association (27-voxel NN) execution strategy:
+    #   "gather27"     — flat (N, 27, K/P) gathers from the sparse hash map.
+    #   "loop27"       — sequential loop over the 27 offsets, (N, P)-shaped
+    #                    intermediates (27x less HBM between fusions).
+    #   "compact"      — flat gathers against the per-frame compacted live-
+    #                    voxel view (ops/compact_map.py).
+    #   "compact_loop" — neighbor loop against the compacted view.
+    #   "pallas_fused" — XLA gather + fused Pallas candidate evaluation
+    #                    (ops/pallas_nn.py; distances agree to ulp level).
+    # The first four are bit-identical in results; they differ only in how
+    # XLA schedules memory traffic. Default picked by TPU A/B in bench.py.
+    nn_mode: str = "gather27"
+    # Live-voxel capacity (log2) of the compacted query view ("compact*"
+    # modes). Must exceed the number of occupied map voxels; overflow is
+    # surfaced through FrameResult.num_dropped_map_voxels.
+    nn_live_capacity_log2: int = 15
+    # Probe window of the compacted view's fingerprint index (its hash table
+    # is sized at live_capacity * 4, load factor 0.25, so 8 suffices).
+    nn_probe_length: int = 8
     # Frames advanced per device execution by the pipeline driver (lax.scan
     # chunking). 1 = streaming (one execution per frame, per-frame host
     # latency); larger values keep the odometry state on-device across the

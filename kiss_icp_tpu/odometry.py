@@ -144,6 +144,9 @@ def register_frame(
         max_iterations=int(config.registration.max_num_iterations),
         convergence=float(config.registration.convergence_criterion),
         use_pallas=resolve_use_pallas(config),
+        nn_mode=str(config.engine.nn_mode),
+        nn_live_capacity_log2=int(config.engine.nn_live_capacity_log2),
+        nn_probe_length=int(config.engine.nn_probe_length),
     )
     # Degraded-mode guard (no reference analog — its f64 merely postpones the
     # blow-up): if registration ever yields a non-finite pose, fall back to
@@ -190,7 +193,8 @@ def register_frame(
         num_iterations=align.num_iterations,
         num_correspondences=align.num_correspondences,
         num_dropped_downsample=frame_ds.num_dropped + source.num_dropped,
-        num_dropped_map_voxels=insert_stats.num_dropped_voxels,
+        num_dropped_map_voxels=(insert_stats.num_dropped_voxels
+                                + align.num_dropped_compact),
         used_fallback=~pose_finite,
     )
     return new_state, result

@@ -252,6 +252,64 @@ def query_nearest(cfg: MapConfig, m: VoxelMap, queries: jnp.ndarray,
     return QueryResult(nn, jnp.sqrt(best_d2), found)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def query_nearest_loop(cfg: MapConfig, m: VoxelMap, queries: jnp.ndarray,
+                       valid: jnp.ndarray) -> QueryResult:
+    """Same query as `query_nearest`, restructured as a sequential loop over
+    the 27 neighbor offsets with running-min state.
+
+    Rationale: the flat formulation materializes (N, 27, P, 3) gathered points
+    and (N, 27, P) distances in HBM between fusions; here every intermediate
+    is (N, P)-shaped, 27x smaller, trading parallel width (ample at N*P
+    lanes) for memory traffic. Results are bit-identical: the sequential
+    strict-< update keeps the first (lowest shift index) winner and the
+    per-neighbor argmin keeps the lowest lane, matching the flat argmin's
+    lowest-flat-index tie-break.
+    """
+    n = queries.shape[0]
+    k = cfg.probe_length
+    p = cfg.max_points_per_voxel
+    cap = cfg.capacity
+
+    qvox = voxel_ops.point_to_voxel(queries, cfg.voxel_size)  # (N, 3)
+    shifts = jnp.asarray(_NEIGHBOR_SHIFTS)
+    lanes = jnp.arange(p, dtype=jnp.int32)
+
+    def neighbor_step(j, state):
+        best_d2, best_pt = state
+        neigh = qvox + shifts[j][None, :]  # (N, 3)
+        target_fp = fingerprint(neigh)  # (N,)
+        base = bucket(neigh, cfg.capacity_log2)  # (N,)
+        slots = _window(base, k, cap)  # (N, K)
+        window_fp = m.fprints[slots]
+        match = window_fp == target_fp[:, None]
+        has_voxel = jnp.any(match, axis=-1)
+        first = jnp.argmax(match, axis=-1)
+        slot = jnp.take_along_axis(slots, first[:, None], axis=-1)[:, 0]
+        exact = jnp.all(m.vkeys[slot] == neigh, axis=-1)
+        has_voxel = has_voxel & exact
+        slot = jnp.where(has_voxel, slot, 0)
+
+        cnt = m.counts[slot]  # (N,)
+        pts = decode_points(cfg, m.points[slot], neigh[:, None, :])  # (N, P, 3)
+        d2 = jnp.sum((queries[:, None, :] - pts) ** 2, axis=-1)  # (N, P)
+        usable = (lanes[None, :] < cnt[:, None]) & has_voxel[:, None]
+        d2 = jnp.where(usable, d2, jnp.inf)
+        lane_best = jnp.argmin(d2, axis=-1)  # (N,)
+        lane_d2 = jnp.take_along_axis(d2, lane_best[:, None], axis=-1)[:, 0]
+        lane_pt = jnp.take_along_axis(pts, lane_best[:, None, None], axis=1)[:, 0]
+        improve = lane_d2 < best_d2
+        return (jnp.where(improve, lane_d2, best_d2),
+                jnp.where(improve[:, None], lane_pt, best_pt))
+
+    best_d2, best_pt = jax.lax.fori_loop(
+        0, 27, neighbor_step,
+        (jnp.full((n,), jnp.inf, jnp.float32), jnp.zeros((n, 3), jnp.float32)),
+    )
+    found = jnp.isfinite(best_d2) & valid
+    return QueryResult(best_pt, jnp.sqrt(best_d2), found)
+
+
 class InsertStats(NamedTuple):
     num_added_points: jnp.ndarray  # () int32
     num_dropped_voxels: jnp.ndarray  # () int32 — new voxels with no free slot

@@ -101,6 +101,8 @@ class AlignResult(NamedTuple):
     pose: jnp.ndarray  # (4, 4) new world pose of the scan
     num_iterations: jnp.ndarray  # () int32
     num_correspondences: jnp.ndarray  # () int32 — at the last iteration
+    num_dropped_compact: jnp.ndarray  # () int32 — live voxels missing from the
+    # compacted query view ("compact*" nn modes; 0 elsewhere)
 
 
 def gauss_newton_loop(
@@ -171,7 +173,9 @@ def gauss_newton_loop(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "max_iterations", "convergence", "use_pallas")
+    jax.jit,
+    static_argnames=("cfg", "max_iterations", "convergence", "use_pallas",
+                     "nn_mode", "nn_live_capacity_log2", "nn_probe_length"),
 )
 def align_points_to_map(
     cfg: hash_map.MapConfig,
@@ -185,12 +189,19 @@ def align_points_to_map(
     max_iterations: int,
     convergence: float,
     use_pallas: bool = False,
+    nn_mode: str = "gather27",
+    nn_live_capacity_log2: int = 15,
+    nn_probe_length: int = 8,
 ) -> AlignResult:
     """Register one (body-frame) source scan against the local map.
 
     Mirrors Registration::AlignPointsToMap (Registration.cpp:138-167): empty map
     returns the guess; otherwise iterate NN association + robust GN until
     `|dx| < convergence` or `max_iterations`.
+
+    `nn_mode` selects among bit-identical data-association strategies (see
+    config.schema.EngineConfig.nn_mode); "compact*" modes build the dense
+    live-voxel view once here and query it every iteration.
     """
     guess = initial_guess.astype(jnp.float32)
 
@@ -201,8 +212,38 @@ def align_points_to_map(
     else:
         linsys = build_linear_system
 
+    num_dropped_compact = jnp.zeros((), jnp.int32)
+    if nn_mode in ("compact", "compact_loop"):
+        from kiss_icp_tpu.ops import compact_map as cmod
+
+        ccfg = cmod.CompactConfig(
+            live_capacity_log2=nn_live_capacity_log2,
+            hash_capacity_log2=nn_live_capacity_log2 + 2,
+            probe_length=nn_probe_length,
+        )
+        cm = cmod.build_compact(cfg, ccfg, m)
+        num_dropped_compact = cm.num_dropped
+        query = (cmod.query_nearest_compact if nn_mode == "compact"
+                 else cmod.query_nearest_compact_loop)
+
+        def nn(src):
+            return query(cfg, ccfg, cm, src, valid)
+    elif nn_mode == "pallas_fused":
+        from kiss_icp_tpu.ops import pallas_nn
+
+        def nn(src):
+            return pallas_nn.query_nearest_fused_auto(cfg, m, src, valid)
+    elif nn_mode == "loop27":
+        def nn(src):
+            return hash_map.query_nearest_loop(cfg, m, src, valid)
+    elif nn_mode == "gather27":
+        def nn(src):
+            return hash_map.query_nearest(cfg, m, src, valid)
+    else:
+        raise ValueError(f"unknown nn_mode: {nn_mode!r}")
+
     def query_fn(src):
-        q = hash_map.query_nearest(cfg, m, src, valid)
+        q = nn(src)
         return q.distances, q.neighbors
 
     t_icp, iters = gauss_newton_loop(
@@ -212,9 +253,10 @@ def align_points_to_map(
     )
 
     # Final correspondence count for diagnostics (one extra association).
-    q = hash_map.query_nearest(cfg, m, se3.transform(t_icp @ guess, points), valid)
+    q = nn(se3.transform(t_icp @ guess, points))
     n_corr = jnp.sum((q.found & (q.distances < max_distance)).astype(jnp.int32))
 
     empty = hash_map.is_empty(m)
     pose = jnp.where(empty, guess, t_icp @ guess)
-    return AlignResult(pose, jnp.where(empty, 0, iters), n_corr)
+    return AlignResult(pose, jnp.where(empty, 0, iters), n_corr,
+                       num_dropped_compact)

@@ -74,7 +74,8 @@ def make_sharded_align(
         )
         empty = hash_map.is_empty(m)
         pose = jnp.where(empty, guess, t_icp @ guess)
-        return registration.AlignResult(pose, jnp.where(empty, 0, iters), n_corr)
+        return registration.AlignResult(pose, jnp.where(empty, 0, iters), n_corr,
+                                        jnp.zeros((), jnp.int32))
 
     replicated = P()
     sharded = P(axis)

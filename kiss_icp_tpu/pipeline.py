@@ -181,9 +181,10 @@ class OdometryPipeline:
             import warnings
 
             warnings.warn(
-                f"voxel map dropped {dropped_map} new voxels this frame: "
-                "raise engine.map_capacity_log2 or engine.probe_length "
-                "(accuracy degrades silently otherwise)",
+                f"voxel map dropped {dropped_map} voxels this frame: "
+                "raise engine.map_capacity_log2 / engine.probe_length (or, "
+                "with a compact nn_mode, engine.nn_live_capacity_log2) — "
+                "accuracy degrades silently otherwise",
                 RuntimeWarning,
                 stacklevel=3,
             )
