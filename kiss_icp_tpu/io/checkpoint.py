@@ -1,0 +1,115 @@
+"""Odometry state checkpoint / resume.
+
+The reference has no mid-run persistence of any kind (SURVEY.md section 5:
+"Checkpoint / resume: none"; outputs are written once at the end of a run,
+python/kiss_icp/pipeline.py:115-169). On TPU the entire odometry state is a
+fixed-shape device pytree — pose, constant-velocity delta, threshold
+scalars, and the voxel-map tensors — which makes exact save/resume cheap
+and simple. That enables things the reference cannot do: warm-starting a
+streaming node with a prebuilt local map, splitting a very long sequence
+across jobs, and crash recovery at sensor rate.
+
+Format: one ``.npz`` holding the flattened pytree leaves (``leaf_0`` ...)
+plus a JSON metadata record of the map geometry. Loading validates every
+leaf's shape and dtype against a template built from the target config and
+fails loudly on mismatch (a checkpoint is only valid for the engine
+capacities it was produced with — fixed shapes are the price of one XLA
+program).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+
+FORMAT_VERSION = 1
+
+
+def _metadata(config) -> dict:
+    e = config.engine
+    return {
+        "format_version": FORMAT_VERSION,
+        "voxel_size": float(config.mapping.voxel_size),
+        "max_points_per_voxel": int(config.mapping.max_points_per_voxel),
+        "map_capacity_log2": int(e.map_capacity_log2),
+        "map_storage": str(e.map_storage),
+        "probe_length": int(e.probe_length),
+    }
+
+
+def save_state(path, state) -> None:
+    """Write an :class:`~kiss_icp_tpu.odometry.OdometryState` to ``path``.
+
+    The state is materialized on the host (one d2h transfer of the map
+    tensors) and stored compressed; a 2^18-slot f32 map is ~60 MB raw and
+    compresses well while the map is far from full.
+    """
+    leaves = jax.tree_util.tree_leaves(state)
+    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    np.savez_compressed(Path(path), **arrays)
+
+
+def save_checkpoint(path, state, config) -> None:
+    """`save_state` plus a metadata record used for mismatch diagnostics."""
+    leaves = jax.tree_util.tree_leaves(state)
+    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    arrays["metadata_json"] = np.frombuffer(
+        json.dumps(_metadata(config)).encode(), dtype=np.uint8
+    )
+    np.savez_compressed(Path(path), **arrays)
+
+
+def load_checkpoint(path, config):
+    """Load an odometry state saved by :func:`save_checkpoint` /
+    :func:`save_state`, validated against ``config``.
+
+    Returns a host-side pytree with the exact structure of
+    ``odometry.init_state(config)``; pass it straight into the jitted step
+    (JAX moves it to the device on first use).
+
+    Raises ``ValueError`` when the checkpoint was produced under different
+    engine capacities / map storage than ``config`` describes.
+    """
+    from kiss_icp_tpu.odometry import init_state
+
+    path = Path(path)
+    with np.load(path) as data:
+        saved_meta = None
+        if "metadata_json" in data:
+            saved_meta = json.loads(bytes(data["metadata_json"]).decode())
+        n = sum(1 for k in data.files if k.startswith("leaf_"))
+        leaves = [data[f"leaf_{i}"] for i in range(n)]
+
+    template = init_state(config)
+    t_leaves, treedef = jax.tree_util.tree_flatten(template)
+    if saved_meta is not None:
+        want = _metadata(config)
+        mismatches = {
+            k: (saved_meta.get(k), want[k])
+            for k in want
+            if saved_meta.get(k) != want[k]
+        }
+        if mismatches:
+            raise ValueError(
+                f"checkpoint {path} was written under a different map "
+                f"configuration: {mismatches} (saved, current). Re-run with "
+                "the matching config or rebuild the map."
+            )
+    if len(leaves) != len(t_leaves):
+        raise ValueError(
+            f"checkpoint {path} has {len(leaves)} arrays, expected "
+            f"{len(t_leaves)} — produced by an incompatible version?"
+        )
+    for i, (got, want_leaf) in enumerate(zip(leaves, t_leaves)):
+        want_shape = tuple(np.shape(want_leaf))
+        want_dtype = np.asarray(want_leaf).dtype
+        if tuple(got.shape) != want_shape or got.dtype != want_dtype:
+            raise ValueError(
+                f"checkpoint {path} leaf {i}: shape/dtype "
+                f"{got.shape}/{got.dtype} does not match the current config's "
+                f"{want_shape}/{want_dtype} (engine capacities must match)."
+            )
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -337,6 +337,20 @@ class KissICP:
             int(np.asarray(res.num_dropped_map_voxels)),
         )
 
+    def save_checkpoint(self, path) -> None:
+        """Persist the full odometry state (pose, motion model, adaptive
+        threshold, local map) for exact resume — see io/checkpoint.py."""
+        from kiss_icp_tpu.io import checkpoint
+
+        checkpoint.save_checkpoint(path, self.state, self.config)
+
+    def load_checkpoint(self, path) -> None:
+        """Restore a state saved by `save_checkpoint` (validated against this
+        instance's config)."""
+        from kiss_icp_tpu.io import checkpoint
+
+        self.state = checkpoint.load_checkpoint(path, self.config)
+
     @property
     def last_pose(self) -> np.ndarray:
         return np.asarray(self.state.pose)

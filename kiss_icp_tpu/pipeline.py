@@ -40,6 +40,9 @@ class OdometryPipeline:
         deskew: Optional[bool] = None,
         n_scans: int = -1,
         jump: int = 0,
+        profile_dir: Optional[Path] = None,
+        resume_from: Optional[Path] = None,
+        save_checkpoint: bool = False,
     ):
         self._dataset = dataset
         self.config = (
@@ -74,15 +77,36 @@ class OdometryPipeline:
         self.dataset_name = type(dataset).__name__
         self.dataset_sequence = getattr(dataset, "sequence_id", Path(str(getattr(dataset, "data_dir", ""))).name)
 
+        self._profile_dir = profile_dir
+        self._save_checkpoint = save_checkpoint
+        if resume_from is not None:
+            # Exact resume: restores pose, motion model, adaptive threshold
+            # and the local map (io/checkpoint.py); typically paired with
+            # --jump to skip the frames already covered by the checkpoint.
+            self.odometry.load_checkpoint(resume_from)
+
     # --- Public API ------------------------------------------------------
     def run(self) -> PipelineResults:
-        self._run_pipeline()
+        if self._profile_dir is not None:
+            # Device-level tracing (XLA op timeline, HBM usage) viewable in
+            # TensorBoard / Perfetto. The reference's only tracing is host
+            # wall-clock around register_frame (pipeline.py:100-103); on TPU
+            # the interesting time is inside the XLA program, which host
+            # timers cannot decompose.
+            import jax
+
+            with jax.profiler.trace(str(self._profile_dir)):
+                self._run_pipeline()
+        else:
+            self._run_pipeline()
         self._run_evaluation()
         self._create_output_dir()
         self._write_result_poses()
         self._write_gt_poses()
         self._write_cfg()
         self._write_log()
+        if self._save_checkpoint:
+            self.odometry.save_checkpoint(self.results_dir / "checkpoint.npz")
         return self.results
 
     # --- Core loop (reference pipeline.py:97-113) ------------------------

@@ -41,6 +41,11 @@ DEFAULT_PARAMETERS = {
     "convergence_criterion": 1e-4,
     "position_covariance": 0.1,
     "orientation_covariance": 0.1,
+    # Node-level (not part of KISSConfig): warm-start from / persist to an
+    # odometry checkpoint (io/checkpoint.py). Empty = disabled. No reference
+    # analog — the rclcpp node always starts from an empty map.
+    "load_checkpoint": "",
+    "save_checkpoint_path": "",
 }
 
 

@@ -77,6 +77,12 @@ def main(args=None):  # pragma: no cover - requires a ROS 2 environment
 
             cfg, self.publisher_core = core.publisher_from_params(params, tf_lookup)
             self.odometry = KissICP(cfg)
+            if str(params["load_checkpoint"]):
+                self.odometry.load_checkpoint(str(params["load_checkpoint"]))
+                self.get_logger().info(
+                    f"warm-started from checkpoint {params['load_checkpoint']}"
+                )
+            self._save_checkpoint_path = str(params["save_checkpoint_path"])
             self.publish_debug_clouds = bool(params["publish_debug_clouds"])
 
             qos = QoSProfile(
@@ -144,6 +150,13 @@ def main(args=None):  # pragma: no cover - requires a ROS 2 environment
                 self._to_pc2(self.odometry.local_map_points(), map_header)
             )
 
+        def save_checkpoint_if_configured(self):
+            if self._save_checkpoint_path:
+                self.odometry.save_checkpoint(self._save_checkpoint_path)
+                self.get_logger().info(
+                    f"odometry state saved to {self._save_checkpoint_path}"
+                )
+
         @staticmethod
         def _to_pc2(points, header):
             msg = PointCloud2()
@@ -166,6 +179,7 @@ def main(args=None):  # pragma: no cover - requires a ROS 2 environment
     try:
         rclpy.spin(node)
     finally:
+        node.save_checkpoint_if_configured()
         node.destroy_node()
         rclpy.shutdown()
 

@@ -50,6 +50,15 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="Metadata file (ouster pcap)")
     p.add_argument("--visualize", "-v", action="store_true",
                    help="Open the interactive visualizer")
+    p.add_argument("--profile", type=Path, default=None, metavar="DIR",
+                   help="Write a device-level trace (XLA op timeline) to DIR "
+                        "for TensorBoard/Perfetto")
+    p.add_argument("--resume-from", type=Path, default=None, metavar="CKPT",
+                   help="Resume from a checkpoint.npz (pair with --jump to "
+                        "skip the frames it already covers)")
+    p.add_argument("--save-checkpoint", action="store_true",
+                   help="Write checkpoint.npz (full odometry state incl. the "
+                        "local map) into the results dir at the end")
     p.add_argument("--version", action="version", version=f"kiss_icp_tpu {__version__}")
     return p
 
@@ -99,6 +108,9 @@ def main(argv=None) -> int:
         deskew=args.deskew,
         n_scans=args.n_scans,
         jump=args.jump,
+        profile_dir=args.profile,
+        resume_from=args.resume_from,
+        save_checkpoint=args.save_checkpoint,
     )
     pipeline.run()
     pipeline.print_()

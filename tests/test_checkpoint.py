@@ -1,0 +1,132 @@
+"""Checkpoint/resume of the odometry state (io/checkpoint.py).
+
+The reference has no persistence story (SURVEY.md section 5); these tests
+pin ours: exact resume (bitwise-identical continuation), config-mismatch
+rejection, and the KissICP convenience wrappers.
+"""
+
+import numpy as np
+import pytest
+
+from kiss_icp_tpu.config.schema import KISSConfig
+from kiss_icp_tpu.datasets.synthetic import SyntheticDataset
+from kiss_icp_tpu.io import checkpoint
+from kiss_icp_tpu.odometry import KissICP, init_state
+
+
+def _cfg(**engine_overrides):
+    cfg = KISSConfig()
+    cfg.data.max_range = 50.0
+    cfg.data.min_range = 1.0
+    cfg.mapping.voxel_size = 0.5
+    cfg.engine.max_points_per_frame = 8192
+    cfg.engine.frame_capacity = 8192
+    cfg.engine.source_capacity = 2048
+    cfg.engine.map_capacity_log2 = 16
+    cfg.registration.max_num_iterations = 30
+    for k, v in engine_overrides.items():
+        setattr(cfg.engine, k, v)
+    return cfg
+
+
+def _scans(n):
+    ds = SyntheticDataset(sequence=1, n_scans=n, n_beams=32, n_azimuth=256,
+                          max_range=50.0)
+    return [ds[i] for i in range(n)]
+
+
+def test_roundtrip_resume_is_exact(tmp_path):
+    scans = _scans(6)
+    path = tmp_path / "state.npz"
+
+    icp = KissICP(_cfg())
+    for pts, ts in scans[:3]:
+        icp.register_frame_lazy(pts, ts)
+    icp.save_checkpoint(path)
+    # Continue the original instance to the end.
+    for pts, ts in scans[3:]:
+        icp.register_frame_lazy(pts, ts)
+    expected = icp.last_pose
+
+    # Fresh instance resumes from the checkpoint and must reproduce the
+    # continuation bit-for-bit (same XLA program, same state).
+    icp2 = KissICP(_cfg())
+    icp2.load_checkpoint(path)
+    for pts, ts in scans[3:]:
+        icp2.register_frame_lazy(pts, ts)
+    np.testing.assert_array_equal(icp2.last_pose, expected)
+
+
+def test_mismatched_capacity_rejected(tmp_path):
+    path = tmp_path / "state.npz"
+    icp = KissICP(_cfg())
+    pts, ts = _scans(1)[0]
+    icp.register_frame_lazy(pts, ts)
+    icp.save_checkpoint(path)
+
+    with pytest.raises(ValueError, match="map_capacity_log2"):
+        KissICP(_cfg(map_capacity_log2=17)).load_checkpoint(path)
+    with pytest.raises(ValueError, match="map_storage"):
+        KissICP(_cfg(map_storage="u16")).load_checkpoint(path)
+
+
+def test_save_state_without_metadata_shape_checked(tmp_path):
+    cfg = _cfg()
+    path = tmp_path / "bare.npz"
+    checkpoint.save_state(path, init_state(cfg))
+    restored = checkpoint.load_checkpoint(path, cfg)
+    tmpl = init_state(cfg)
+    assert np.asarray(restored.map.counts).shape == tmpl.map.counts.shape
+
+    # Same save loaded under a bigger map capacity: caught by shape check
+    # even without the metadata record.
+    with pytest.raises(ValueError, match="shape/dtype"):
+        checkpoint.load_checkpoint(path, _cfg(map_capacity_log2=17))
+
+
+def test_checkpoint_preserves_threshold_and_motion(tmp_path):
+    scans = _scans(4)
+    icp = KissICP(_cfg())
+    for pts, ts in scans:
+        icp.register_frame_lazy(pts, ts)
+    path = tmp_path / "state.npz"
+    icp.save_checkpoint(path)
+
+    icp2 = KissICP(_cfg())
+    icp2.load_checkpoint(path)
+    np.testing.assert_array_equal(icp2.last_pose, icp.last_pose)
+    np.testing.assert_array_equal(icp2.last_delta, icp.last_delta)
+    np.testing.assert_array_equal(
+        np.asarray(icp2.state.threshold.model_sse),
+        np.asarray(icp.state.threshold.model_sse),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(icp2.state.map.total_points),
+        np.asarray(icp.state.map.total_points),
+    )
+
+
+def test_pipeline_resume_matches_full_run(tmp_path):
+    """Pipeline-level resume: save at frame 3, resume with --jump 3; the
+    resumed tail reproduces the full run's poses bit-for-bit."""
+    from kiss_icp_tpu.pipeline import OdometryPipeline
+    from kiss_icp_tpu.datasets.synthetic import SyntheticDataset
+
+    def cfg():
+        c = _cfg()
+        c.out_dir = str(tmp_path / "results")
+        return c
+
+    ds = SyntheticDataset(sequence=1, n_scans=6, n_beams=32, n_azimuth=256,
+                          max_range=50.0)
+    full = OdometryPipeline(ds, config=cfg())
+    full.run()
+
+    head = OdometryPipeline(ds, config=cfg(), n_scans=3, save_checkpoint=True)
+    head.run()
+    ckpt = head.results_dir / "checkpoint.npz"
+    assert ckpt.exists()
+
+    tail = OdometryPipeline(ds, config=cfg(), jump=3, resume_from=ckpt)
+    tail.run()
+    np.testing.assert_array_equal(tail.poses, full.poses[3:])

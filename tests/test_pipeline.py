@@ -133,3 +133,15 @@ def test_pipeline_chunked_matches_streaming(tmp_path):
     p2.run()
 
     np.testing.assert_allclose(p1.poses, p2.poses, atol=1e-5)
+
+
+def test_pipeline_profile_trace(tmp_path):
+    """--profile writes a device-level trace (jax.profiler) to the given dir."""
+    ds = SyntheticDataset(sequence=1, n_scans=3, n_beams=16, n_azimuth=128,
+                          max_range=50.0)
+    trace_dir = tmp_path / "trace"
+    pipeline = OdometryPipeline(ds, config=_small_config(tmp_path),
+                                profile_dir=trace_dir)
+    pipeline.run()
+    files = list(trace_dir.rglob("*"))
+    assert any(f.is_file() for f in files), "no trace files written"
