@@ -47,6 +47,17 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def _publish_partial(result: dict) -> None:
+    """Write a result snapshot where the parent can salvage it if this child
+    is later killed by its timeout (e.g. stuck in a post-timing d2h read)."""
+    path = os.environ.get("KISS_BENCH_RESULT_FILE")
+    if path:
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(result, f)
+        os.replace(tmp, path)
+
+
 def _config(use_pallas="auto", map_storage="f32", probe_length=16,
             nn_mode="gather27"):
     from kiss_icp_tpu.config.parser import load_config
@@ -74,11 +85,32 @@ def _config(use_pallas="auto", map_storage="f32", probe_length=16,
     return cfg
 
 
+class _GtOnly:
+    def __init__(self, gt_poses):
+        self.gt_poses = gt_poses
+
+
 def _scans(cfg, n_frames):
+    """Padded scan buffers for the benchmark drive, cached on disk.
+
+    Host-side synthesis of the procedural world costs seconds per frame;
+    the 240-frame soak needs >10 minutes of pure numpy before the device
+    does any work, which is what child timeouts are budgeted against. The
+    drive is deterministic, so every child process (and every salted
+    retry) reuses one cache file. Only gt_poses of the dataset object is
+    needed downstream, so the cache stores arrays, not the world."""
+    cap = cfg.engine.max_points_per_frame
+    cache = f"/tmp/kiss_bench_scans_v1_seq0_{n_frames}f_{cap}cap.npz"
+    if os.path.exists(cache):
+        try:
+            with np.load(cache) as d:
+                return (_GtOnly(d["gt"]), d["pts"], d["ts"], d["valid"])
+        except Exception as e:  # corrupt/partial file: regenerate
+            log(f"scan cache unreadable ({e}), regenerating")
+
     from kiss_icp_tpu.datasets.synthetic import SyntheticDataset
 
     ds = SyntheticDataset(sequence=0, n_scans=n_frames, speed=1.0, accel_frames=30)
-    cap = cfg.engine.max_points_per_frame
     pts = np.zeros((n_frames, cap, 3), np.float32)
     ts = np.zeros((n_frames, cap), np.float32)
     valid = np.zeros((n_frames, cap), bool)
@@ -88,6 +120,12 @@ def _scans(cfg, n_frames):
         pts[i, :n] = p[:n]
         ts[i, :n] = t[:n]
         valid[i, :n] = True
+    tmp = cache + f".{os.getpid()}.tmp.npz"  # ends in .npz: savez keeps the name
+    try:
+        np.savez(tmp, pts=pts, ts=ts, valid=valid, gt=ds.gt_poses[:n_frames])
+        os.replace(tmp, cache)
+    except OSError:
+        pass
     return ds, pts, ts, valid
 
 
@@ -286,7 +324,17 @@ def child_soak() -> dict:
             log(f"soak chunk 0 at {chunk_fps[0]:.0f} fps: slow-mode draw, "
                 "aborting for a salted retry")
             return None
-    # Reads after ALL timing.
+    # The throughput result is pure host timing — publish it BEFORE any
+    # device-to-host read: bulk d2h reads of execution outputs can stall for
+    # tens of minutes through the dev tunnel (docs/ARCHITECTURE.md), and a
+    # child killed mid-read must not lose the measurement.
+    curve = " ".join(f"{f:.0f}" for f in chunk_fps)
+    steady = float(np.mean(chunk_fps[len(chunk_fps) // 2:]))
+    log(f"soak fps per {k}-frame chunk: {curve}")
+    partial = {"mode": "soak", "steady_fps": round(steady, 2),
+               "first_chunk_fps": round(chunk_fps[0], 2)}
+    _publish_partial(partial)
+    # Diagnostics (d2h reads) after ALL timing.
     fill = int(np.asarray(state.map.total_points))
     drops = sum(
         int(np.sum(np.asarray(s.num_dropped_downsample)))
@@ -294,14 +342,9 @@ def child_soak() -> dict:
         for s in summaries
     )
     sigmas = np.asarray(summaries[-1].sigmas)
-    curve = " ".join(f"{f:.0f}" for f in chunk_fps)
-    steady = float(np.mean(chunk_fps[len(chunk_fps) // 2:]))
-    log(f"soak fps per {k}-frame chunk: {curve}")
     log(f"soak steady-state fps={steady:.1f} map_points={fill} "
         f"dropped={drops} sigma_final={sigmas[-1]:.3f}")
-    return {"mode": "soak", "steady_fps": round(steady, 2),
-            "first_chunk_fps": round(chunk_fps[0], 2), "map_points": fill,
-            "dropped": drops}
+    return {**partial, "map_points": fill, "dropped": drops}
 
 
 def child_streaming() -> dict:
@@ -339,16 +382,30 @@ def child_streaming() -> dict:
 # --------------------------------------------------------------------------
 
 def _run_child(mode: str, salt: int, timeout: int) -> dict | None:
-    env = dict(os.environ, KISS_BENCH_SALT=str(salt))
+    result_file = f"/tmp/kiss_bench_result_{mode}_{salt}_{os.getpid()}.json"
+    env = dict(os.environ, KISS_BENCH_SALT=str(salt),
+               KISS_BENCH_RESULT_FILE=result_file)
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", mode],
             capture_output=True, text=True, timeout=timeout, env=env,
         )
     except subprocess.TimeoutExpired:
+        # Salvage a partial result if the child published one before dying
+        # (a post-timing d2h read stalling through the tunnel does not
+        # invalidate the host-side timing already taken).
+        if os.path.exists(result_file):
+            with open(result_file) as f:
+                salvaged = json.load(f)
+            os.unlink(result_file)
+            log(f"[{mode} salt={salt}] timed out after timing completed; "
+                f"salvaged result {salvaged}")
+            return salvaged
         log(f"[{mode} salt={salt}] timed out (slow-mode process)")
         return None
     sys.stderr.write(proc.stderr)
+    if os.path.exists(result_file):
+        os.unlink(result_file)
     result = None
     for line in proc.stdout.strip().splitlines():
         if line.startswith("{"):
@@ -360,6 +417,13 @@ def _run_child(mode: str, salt: int, timeout: int) -> dict | None:
 
 def parent() -> int:
     headline = None
+
+    # Pre-generate the scan caches OUTSIDE the child timeouts (scan synthesis
+    # is minutes of host numpy for the 240-frame soak; see _scans).
+    for n in (N_FRAMES, 240):
+        t0 = time.perf_counter()
+        _scans(_config(), n)
+        log(f"scan cache for {n} frames ready in {time.perf_counter()-t0:.0f}s")
 
     # Headline: chunked fps, best of up to 3 salted attempts. The early-out
     # threshold is far above the 100 fps target: a slow-mode draw can sit at
