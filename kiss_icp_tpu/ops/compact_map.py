@@ -44,7 +44,8 @@ from kiss_icp_tpu.ops.hash_map import (
     QueryResult,
     VoxelMap,
     _window,
-    bucket as _bucket_mod,
+    _window_fp,
+    window_row,
     decode_points,
     fingerprint,
 )
@@ -85,8 +86,10 @@ class CompactMap(NamedTuple):
     num_dropped: jnp.ndarray  # () int32 — live voxels not representable
 
 
-def _hash_bucket(coords: jnp.ndarray, hash_capacity_log2: int) -> jnp.ndarray:
-    return _bucket_mod(coords, hash_capacity_log2)
+def _hash_rows(coords: jnp.ndarray, ccfg: "CompactConfig") -> jnp.ndarray:
+    """Aligned probe-window row in the compact fingerprint table (same
+    row-gather trick as hash_map.window_row)."""
+    return window_row(coords, ccfg.hash_capacity_log2, ccfg.probe_length)
 
 
 @functools.partial(jax.jit, static_argnames=("mcfg", "ccfg"))
@@ -114,16 +117,16 @@ def build_compact(mcfg: MapConfig, ccfg: CompactConfig, m: VoxelMap) -> CompactM
     # same scheme as hash_map.insert phase B; keys are unique so every valid
     # row claims exactly once unless its window fills).
     fp = fingerprint(ckeys)  # (L,)
-    base = _hash_bucket(ckeys, ccfg.hash_capacity_log2)  # (L,)
-    windows = _window(base, k, h_cap)  # (L, K)
+    hrows = _hash_rows(ckeys, ccfg)  # (L,)
+    windows = _window(hrows << (k.bit_length() - 1), k, h_cap)  # (L, K)
 
     def claim_round(state):
         hfp, hval, pending, _ = state
-        wfp = hfp[windows]  # (L, K)
+        wfp = _window_fp(hfp, hrows, k)  # (L, K) row gather
         free = wfp == 0
         any_free = jnp.any(free, axis=-1)
         tgt_pos = jnp.argmax(free, axis=-1)
-        tgt_slot = jnp.take_along_axis(windows, tgt_pos[:, None], axis=-1)[:, 0]
+        tgt_slot = (hrows << (k.bit_length() - 1)) + tgt_pos
         attempt = pending & any_free
         claim_idx = jnp.where(attempt, tgt_slot, h_cap)
         claims = jnp.full((h_cap,), l_cap, jnp.int32).at[claim_idx].min(
@@ -158,13 +161,14 @@ def lookup_rows(ccfg: CompactConfig, cm: CompactMap,
     another voxel's points).
     """
     fp = fingerprint(coords)
-    base = _hash_bucket(coords, ccfg.hash_capacity_log2)
-    windows = _window(base, ccfg.probe_length, ccfg.hash_capacity)
-    wfp = cm.hfp[windows]
+    hrows = _hash_rows(coords, ccfg)
+    windows = _window(hrows << (ccfg.probe_length.bit_length() - 1),
+                      ccfg.probe_length, ccfg.hash_capacity)
+    wfp = _window_fp(cm.hfp, hrows, ccfg.probe_length)
     match = wfp == fp[..., None]
     has = jnp.any(match, axis=-1)
     first = jnp.argmax(match, axis=-1)
-    slot = jnp.take_along_axis(windows, first[..., None], axis=-1)[..., 0]
+    slot = (hrows << (ccfg.probe_length.bit_length() - 1)) + first
     row = jnp.where(has, cm.hval[slot], 0)
     exact = jnp.all(cm.ckeys[row] == coords, axis=-1)
     has = has & exact

@@ -7,10 +7,13 @@ open addressing, designed so every operation is a fixed-shape XLA program:
   * slots:      `vkeys (C,3) i32` voxel coords, `fprints (C,) i32` nonzero hash
                 fingerprint (0 = free slot), `counts (C,) i32`, and a dense
                 point store `points (C,P,3) f32`.
-  * probing:    linear, over a contiguous window of `probe_length` slots —
-                lookups read one small contiguous vector instead of chasing
-                pointers. All window slots are always scanned (no early exit),
-                so removals never break probe chains and need no tombstones.
+  * probing:    over a BUCKET-ALIGNED window of `probe_length` slots (base =
+                hash-row * K), so the window fingerprint scan is a row gather
+                from the (capacity/K, K) view — ~2x faster on v5e than the
+                equivalent scalar gather of K individual slots, and the
+                matched slot is base + offset (arithmetic, no extra gather).
+                All window slots are always scanned (no early exit), so
+                removals never break probe chains and need no tombstones.
   * queries:    the reference's 27-voxel nearest-neighbor search
                 (VoxelHashMap.cpp:35-70) becomes: fingerprint-match the 27
                 neighbor windows, gather one point row per matched voxel, and
@@ -78,6 +81,13 @@ class MapConfig:
     probe_length: int = 16
     group_capacity: int = 16
     storage: str = "f32"
+
+    def __post_init__(self):
+        k = self.probe_length
+        if k <= 0 or (k & (k - 1)) != 0:
+            raise ValueError(f"probe_length must be a power of two, got {k}")
+        if k > (1 << self.capacity_log2):
+            raise ValueError("probe_length exceeds the map capacity")
 
     @property
     def capacity(self) -> int:
@@ -174,15 +184,42 @@ def fingerprint(coords: jnp.ndarray) -> jnp.ndarray:
     return h.astype(jnp.int32)
 
 
-def bucket(coords: jnp.ndarray, capacity_log2: int) -> jnp.ndarray:
-    """Home slot of a voxel: top bits of the mixed hash."""
-    return (_hash_coords(coords) >> (32 - capacity_log2)).astype(jnp.int32)
+def window_row(coords: jnp.ndarray, capacity_log2: int,
+               probe_length: int) -> jnp.ndarray:
+    """Probe-window row of a voxel: top bits of the mixed hash, one row per
+    aligned window of `probe_length` slots.
+
+    Windows are ALIGNED (base = row * probe_length) so the window fingerprint
+    scan can be expressed as a row gather from a `(capacity/K, K)` view of the
+    flat table — measured ~2x faster on v5e than the equivalent scalar gather
+    of (..., K) individual slots, and the fingerprint probe is the single most
+    expensive op of the NN query (see docs/ARCHITECTURE.md roofline notes).
+    """
+    row_bits = capacity_log2 - probe_length.bit_length() + 1
+    return (_hash_coords(coords) >> (32 - row_bits)).astype(jnp.int32)
+
+
+def bucket(coords: jnp.ndarray, capacity_log2: int,
+           probe_length: int = 1) -> jnp.ndarray:
+    """Base slot of a voxel's probe window (aligned to `probe_length`).
+
+    With the default probe_length=1 this is the classic top-bits home slot."""
+    shift = probe_length.bit_length() - 1
+    return window_row(coords, capacity_log2, probe_length) << shift
 
 
 def _window(base: jnp.ndarray, probe_length: int, capacity: int) -> jnp.ndarray:
-    """Slot indices of the probe window: (..., probe_length) int32, wrapping."""
+    """Slot indices of the probe window: (..., probe_length) int32. Aligned
+    bases never wrap; the mask keeps out-of-range math safe regardless."""
     offs = jnp.arange(probe_length, dtype=jnp.int32)
     return (base[..., None] + offs) & (capacity - 1)
+
+
+def _window_fp(fprints: jnp.ndarray, rows: jnp.ndarray,
+               probe_length: int) -> jnp.ndarray:
+    """Fingerprints of the probe windows `rows`: (..., probe_length) via a
+    row gather from the (capacity/K, K) view (see window_row)."""
+    return fprints.reshape(-1, probe_length)[rows]
 
 
 class QueryResult(NamedTuple):
@@ -208,14 +245,16 @@ def query_nearest(cfg: MapConfig, m: VoxelMap, queries: jnp.ndarray,
     shifts = jnp.asarray(_NEIGHBOR_SHIFTS)
     neigh = qvox[:, None, :] + shifts[None, :, :]  # (N, 27, 3)
     target_fp = fingerprint(neigh)  # (N, 27)
-    base = bucket(neigh, cfg.capacity_log2)  # (N, 27)
-    slots = _window(base, k, cap)  # (N, 27, K)
+    rows = window_row(neigh, cfg.capacity_log2, k)  # (N, 27)
+    slots = _window(rows << (k.bit_length() - 1), k, cap)  # (N, 27, K)
 
-    window_fp = m.fprints[slots]  # (N, 27, K) gather
+    window_fp = _window_fp(m.fprints, rows, k)  # (N, 27, K) row gather
     match = window_fp == target_fp[..., None]
     has_voxel = jnp.any(match, axis=-1)  # (N, 27)
     first = jnp.argmax(match, axis=-1)  # (N, 27)
-    slot = jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0]  # (N, 27)
+    # Aligned windows: the winning slot is base + offset — arithmetic,
+    # not another gather.
+    slot = (rows << (k.bit_length() - 1)) + first  # (N, 27)
 
     # Verify the matched slot's exact key: a fingerprint collision inside the
     # window (probability ~K/2^32 per lookup) must never surface another
@@ -279,13 +318,13 @@ def query_nearest_loop(cfg: MapConfig, m: VoxelMap, queries: jnp.ndarray,
         best_d2, best_pt = state
         neigh = qvox + shifts[j][None, :]  # (N, 3)
         target_fp = fingerprint(neigh)  # (N,)
-        base = bucket(neigh, cfg.capacity_log2)  # (N,)
-        slots = _window(base, k, cap)  # (N, K)
-        window_fp = m.fprints[slots]
+        rows = window_row(neigh, cfg.capacity_log2, k)  # (N,)
+        slots = _window(rows << (k.bit_length() - 1), k, cap)  # (N, K)
+        window_fp = _window_fp(m.fprints, rows, k)
         match = window_fp == target_fp[:, None]
         has_voxel = jnp.any(match, axis=-1)
         first = jnp.argmax(match, axis=-1)
-        slot = jnp.take_along_axis(slots, first[:, None], axis=-1)[:, 0]
+        slot = (rows << (k.bit_length() - 1)) + first
         exact = jnp.all(m.vkeys[slot] == neigh, axis=-1)
         has_voxel = has_voxel & exact
         slot = jnp.where(has_voxel, slot, 0)
@@ -335,13 +374,13 @@ def insert(cfg: MapConfig, m: VoxelMap, points: jnp.ndarray,
     gvalid = groups.group_valid
 
     fp = fingerprint(groups.coords)  # (V,)
-    base = bucket(groups.coords, cfg.capacity_log2)  # (V,)
-    slots = _window(base, k, cap)  # (V, K)
+    rows = window_row(groups.coords, cfg.capacity_log2, k)  # (V,)
+    slots = _window(rows << (k.bit_length() - 1), k, cap)  # (V, K)
 
     # --- Phase A: find existing slots (full-window fingerprint + key compare).
-    window_fp = m.fprints[slots]  # (V, K)
+    window_fp = _window_fp(m.fprints, rows, k)  # (V, K)
     fp_match = window_fp == fp[:, None]
-    window_keys = m.vkeys[slots]  # (V, K, 3)
+    window_keys = m.vkeys.reshape(cap // k, k, 3)[rows]  # (V, K, 3) row gather
     key_match = jnp.all(window_keys == groups.coords[:, None, :], axis=-1)
     exact = fp_match & key_match
     has_existing = jnp.any(exact, axis=-1) & gvalid
@@ -352,11 +391,11 @@ def insert(cfg: MapConfig, m: VoxelMap, points: jnp.ndarray,
 
     def claim_round(state):
         fprints, vkeys, pending, assigned, _ = state
-        wfp = fprints[slots]  # (V, K)
+        wfp = _window_fp(fprints, rows, k)  # (V, K)
         free = wfp == 0
         any_free = jnp.any(free, axis=-1)
         tgt_pos = jnp.argmax(free, axis=-1)
-        tgt_slot = jnp.take_along_axis(slots, tgt_pos[:, None], axis=-1)[:, 0]
+        tgt_slot = (rows << (k.bit_length() - 1)) + tgt_pos
         attempt = pending & any_free
         claim_idx = jnp.where(attempt, tgt_slot, cap)  # cap = dropped
         claims = jnp.full((cap,), v, jnp.int32).at[claim_idx].min(
@@ -386,7 +425,7 @@ def insert(cfg: MapConfig, m: VoxelMap, points: jnp.ndarray,
 
     slot = jnp.where(
         has_existing,
-        jnp.take_along_axis(slots, exist_pos[:, None], axis=-1)[:, 0],
+        (rows << (k.bit_length() - 1)) + exist_pos,
         assigned,
     )
     has_slot = gvalid & (slot >= 0)

@@ -50,8 +50,9 @@ from kiss_icp_tpu.ops.hash_map import (
     QueryResult,
     VoxelMap,
     _window,
-    bucket,
+    _window_fp,
     fingerprint,
+    window_row,
 )
 
 _BLOCK_Q = 512  # queries per grid step
@@ -214,14 +215,14 @@ def query_nearest_fused(cfg: MapConfig, m: VoxelMap, queries: jnp.ndarray,
     shifts = jnp.asarray(np.asarray(_NEIGHBOR_SHIFTS))
     neigh = qvox[:, None, :] + shifts[None, :, :]  # (N, 27, 3)
     target_fp = fingerprint(neigh)
-    base = bucket(neigh, cfg.capacity_log2)
-    slots = _window(base, k, cap)  # (N, 27, K)
+    rows = window_row(neigh, cfg.capacity_log2, k)
+    slots = _window(rows << (k.bit_length() - 1), k, cap)  # (N, 27, K)
 
-    window_fp = m.fprints[slots]
+    window_fp = _window_fp(m.fprints, rows, k)  # row gather (see window_row)
     match = window_fp == target_fp[..., None]
     has_voxel = jnp.any(match, axis=-1)
     first = jnp.argmax(match, axis=-1)
-    slot = jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0]
+    slot = (rows << (k.bit_length() - 1)) + first
     exact = jnp.all(m.vkeys[slot] == neigh, axis=-1)
     has_voxel = has_voxel & exact
     slot = jnp.where(has_voxel, slot, 0)
