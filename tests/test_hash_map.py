@@ -245,3 +245,41 @@ def test_is_empty():
     assert bool(hm.is_empty(m))
     m, _ = hm.insert(CFG, m, jnp.zeros((4, 3)) + 0.5, jnp.ones(4, bool))
     assert not bool(hm.is_empty(m))
+
+
+def test_aligned_windows_invariants():
+    """Probe windows are bucket-aligned: every stored voxel must live inside
+    the aligned window of its own hash row, and queries for stored voxels
+    must find exactly their own points even when row collisions drop others."""
+    cfg = hm.MapConfig(
+        voxel_size=1.0,
+        max_distance=1000.0,
+        max_points_per_voxel=2,
+        capacity_log2=6,  # 64 slots, K=16 -> only 4 rows: heavy collisions
+        probe_length=16,
+        group_capacity=4,
+    )
+    # one point per distinct voxel: a 16x8 grid of voxel centers (128 voxels)
+    gx, gy = np.meshgrid(np.arange(16), np.arange(8))
+    pts = np.stack([gx.ravel(), gy.ravel(), np.zeros(128)], axis=1) + 0.5
+
+    m = hm.create_map(cfg)
+    m, stats = hm.insert(cfg, m, jnp.asarray(pts, jnp.float32),
+                         jnp.ones(len(pts), bool))
+    counts = np.asarray(m.counts)
+    vkeys = np.asarray(m.vkeys)
+    assert int(stats.num_dropped_voxels) > 0  # 4 rows x 16 slots < 128 voxels
+
+    # Every live slot sits inside its voxel's aligned window.
+    k = cfg.probe_length
+    live = np.nonzero(counts > 0)[0]
+    rows = np.asarray(hm.window_row(jnp.asarray(vkeys[live]),
+                                    cfg.capacity_log2, k))
+    assert np.all(live // k == rows)
+
+    # Queries centered on stored voxels find their own point exactly.
+    stored_centers = vkeys[live].astype(np.float32) + 0.5
+    res = hm.query_nearest(cfg, m, jnp.asarray(stored_centers),
+                           jnp.ones(len(stored_centers), bool))
+    assert bool(np.all(np.asarray(res.found)))
+    np.testing.assert_allclose(np.asarray(res.distances), 0.0, atol=1e-6)
