@@ -199,15 +199,6 @@ def window_row(coords: jnp.ndarray, capacity_log2: int,
     return (_hash_coords(coords) >> (32 - row_bits)).astype(jnp.int32)
 
 
-def bucket(coords: jnp.ndarray, capacity_log2: int,
-           probe_length: int = 1) -> jnp.ndarray:
-    """Base slot of a voxel's probe window (aligned to `probe_length`).
-
-    With the default probe_length=1 this is the classic top-bits home slot."""
-    shift = probe_length.bit_length() - 1
-    return window_row(coords, capacity_log2, probe_length) << shift
-
-
 def _window(base: jnp.ndarray, probe_length: int, capacity: int) -> jnp.ndarray:
     """Slot indices of the probe window: (..., probe_length) int32. Aligned
     bases never wrap; the mask keeps out-of-range math safe regardless."""

@@ -7,7 +7,7 @@ docs/ARCHITECTURE.md "Map sharding with voxel halos"): each device owns
 
 Sharding rule. A voxel belongs to the shard given by the LOW log2(D) bits of
 its mixed spatial hash; home buckets inside a shard use the TOP bits
-(`ops/hash_map.bucket`), so the two index sets are independent and every
+(`ops/hash_map.window_row`), so the two index sets are independent and every
 shard-local table keeps the global load factor. Hash sharding balances load
 perfectly (no spatial hot spots as the sensor moves) at the price that the 27
 query neighbors (reference VoxelHashMap.cpp:35-41) scatter across all shards
