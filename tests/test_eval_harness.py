@@ -56,3 +56,23 @@ def test_dump_config(tmp_path, monkeypatch):
     cfg = yaml.safe_load((tmp_path / "kiss_icp_tpu.yml").read_text())
     assert cfg["data"]["max_range"] == 100.0
     assert cfg["mapping"]["voxel_size"] == 1.0  # derived default
+
+
+def test_eval_notebooks_valid_and_syntactic():
+    """The four eval notebooks (reference eval/*.ipynb analogs) are valid
+    nbformat-4 documents whose code cells compile."""
+    import json
+    from pathlib import Path
+
+    nb_dir = Path(__file__).resolve().parent.parent / "eval"
+    names = ["kitti", "kitti_raw", "mulran", "newer_college"]
+    for name in names:
+        with open(nb_dir / f"{name}.ipynb") as f:
+            nb = json.load(f)
+        assert nb["nbformat"] == 4
+        code_cells = [c for c in nb["cells"] if c["cell_type"] == "code"]
+        assert code_cells, name
+        for i, cell in enumerate(code_cells):
+            src = "".join(cell["source"])
+            compile(src, f"{name}.ipynb cell {i}", "exec")
+            assert not cell["outputs"], "notebooks are stored without outputs"
