@@ -20,6 +20,7 @@ program).
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 
 import jax
@@ -53,13 +54,20 @@ def save_state(path, state) -> None:
 
 
 def save_checkpoint(path, state, config) -> None:
-    """`save_state` plus a metadata record used for mismatch diagnostics."""
+    """`save_state` plus a metadata record used for mismatch diagnostics.
+
+    The write is atomic (tmp file + rename): a crash mid-write — the very
+    scenario periodic checkpoints exist for — never leaves a truncated
+    checkpoint behind."""
     leaves = jax.tree_util.tree_leaves(state)
     arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
     arrays["metadata_json"] = np.frombuffer(
         json.dumps(_metadata(config)).encode(), dtype=np.uint8
     )
-    np.savez_compressed(Path(path), **arrays)
+    path = Path(path)
+    tmp = path.with_name(path.name + f".{os.getpid()}.tmp.npz")
+    np.savez_compressed(tmp, **arrays)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path, config):

@@ -43,6 +43,7 @@ class OdometryPipeline:
         profile_dir: Optional[Path] = None,
         resume_from: Optional[Path] = None,
         save_checkpoint: bool = False,
+        checkpoint_every: int = 0,
     ):
         self._dataset = dataset
         self.config = (
@@ -79,6 +80,7 @@ class OdometryPipeline:
 
         self._profile_dir = profile_dir
         self._save_checkpoint = save_checkpoint
+        self._checkpoint_every = int(checkpoint_every)
         if resume_from is not None:
             # Exact resume: restores pose, motion model, adaptive threshold
             # and the local map (io/checkpoint.py); typically paired with
@@ -138,6 +140,7 @@ class OdometryPipeline:
             self.poses[i] = pose
             self.exec_times[i] = t1 - t0
             self._check_overflow(*self.odometry.last_overflow())
+            self._maybe_checkpoint(i + 1)
             if not headless:
                 self.visualizer.update(
                     self.odometry.last_frame(),
@@ -174,6 +177,7 @@ class OdometryPipeline:
             )
             idx += k
             done += k
+            self._maybe_checkpoint(done)
             try:
                 bar.update(k)
             except AttributeError:
@@ -314,8 +318,27 @@ class OdometryPipeline:
             f"KISS-ICP-TPU results: {self.dataset_name} {self.dataset_sequence}",
         )
 
+    def _maybe_checkpoint(self, frames_done: int):
+        """Periodic crash-recovery checkpoint (atomic write; see
+        io/checkpoint.py). Resume with --resume-from <ckpt> --jump <frames>.
+        Threshold-based so chunked mode checkpoints at the first chunk
+        boundary past each multiple."""
+        n = self._checkpoint_every
+        if n <= 0:
+            return
+        if not hasattr(self, "_next_ckpt"):
+            self._next_ckpt = n
+        if frames_done >= self._next_ckpt:
+            self._create_output_dir()
+            self.odometry.save_checkpoint(self.results_dir / "checkpoint.npz")
+            while self._next_ckpt <= frames_done:
+                self._next_ckpt += n
+
     def _create_output_dir(self):
-        """results/<timestamp>/ with a `latest` symlink (pipeline.py:204-217)."""
+        """results/<timestamp>/ with a `latest` symlink (pipeline.py:204-217).
+        Idempotent: periodic checkpoints may need the dir before run-end."""
+        if hasattr(self, "results_dir"):
+            return
         stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
         base = Path(self.config.out_dir).absolute()
         self.results_dir = base / stamp

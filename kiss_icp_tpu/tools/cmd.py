@@ -59,6 +59,9 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-checkpoint", action="store_true",
                    help="Write checkpoint.npz (full odometry state incl. the "
                         "local map) into the results dir at the end")
+    p.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
+                   help="Also write checkpoint.npz every N frames (atomic; "
+                        "crash recovery via --resume-from + --jump)")
     p.add_argument("--version", action="version", version=f"kiss_icp_tpu {__version__}")
     return p
 
@@ -111,6 +114,7 @@ def main(argv=None) -> int:
         profile_dir=args.profile,
         resume_from=args.resume_from,
         save_checkpoint=args.save_checkpoint,
+        checkpoint_every=args.checkpoint_every,
     )
     pipeline.run()
     pipeline.print_()

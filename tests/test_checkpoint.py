@@ -130,3 +130,49 @@ def test_pipeline_resume_matches_full_run(tmp_path):
     tail = OdometryPipeline(ds, config=cfg(), jump=3, resume_from=ckpt)
     tail.run()
     np.testing.assert_array_equal(tail.poses, full.poses[3:])
+
+
+def test_pipeline_periodic_checkpoint(tmp_path):
+    """--checkpoint-every writes a loadable mid-run checkpoint; resuming from
+    it with --jump reproduces the full run's tail bit-for-bit."""
+    from kiss_icp_tpu.pipeline import OdometryPipeline
+    from kiss_icp_tpu.datasets.synthetic import SyntheticDataset
+
+    def cfg():
+        c = _cfg()
+        c.out_dir = str(tmp_path / "results")
+        return c
+
+    ds = SyntheticDataset(sequence=1, n_scans=5, n_beams=32, n_azimuth=256,
+                          max_range=50.0)
+    full = OdometryPipeline(ds, config=cfg())
+    full.run()
+
+    # Stop after 4 frames, checkpointing every 2: checkpoint.npz holds the
+    # state after frame 4 (the last threshold crossed).
+    head = OdometryPipeline(ds, config=cfg(), n_scans=4, checkpoint_every=2)
+    head.run()
+    ckpt = head.results_dir / "checkpoint.npz"
+    assert ckpt.exists()
+    leftovers = list(head.results_dir.glob("*.tmp*"))
+    assert not leftovers, f"non-atomic checkpoint left {leftovers}"
+
+    tail = OdometryPipeline(ds, config=cfg(), jump=4, resume_from=ckpt)
+    tail.run()
+    np.testing.assert_array_equal(tail.poses, full.poses[4:])
+
+
+def test_pipeline_periodic_checkpoint_chunked(tmp_path):
+    """Chunked mode checkpoints at the first chunk boundary past each
+    multiple of N."""
+    from kiss_icp_tpu.pipeline import OdometryPipeline
+    from kiss_icp_tpu.datasets.synthetic import SyntheticDataset
+
+    c = _cfg()
+    c.out_dir = str(tmp_path / "results")
+    c.engine.pipeline_chunk = 3
+    ds = SyntheticDataset(sequence=1, n_scans=6, n_beams=16, n_azimuth=128,
+                          max_range=50.0)
+    pipe = OdometryPipeline(ds, config=c, checkpoint_every=4)
+    pipe.run()
+    assert (pipe.results_dir / "checkpoint.npz").exists()
