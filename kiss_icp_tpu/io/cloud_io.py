@@ -104,7 +104,7 @@ def read_ply(path: Union[str, Path]) -> Tuple[np.ndarray, Optional[np.ndarray]]:
             arr = np.array(text[: count * ncol], dtype=np.float64).reshape(count, ncol)
             struct = {pname: arr[:, i] for i, (pname, _) in enumerate(props)}
             names = [p for p, _ in props]
-            rec = np.core.records.fromarrays(
+            rec = np.rec.fromarrays(
                 [struct[n] for n in names], names=",".join(names)
             )
             return _extract(rec, names)
@@ -156,7 +156,7 @@ def read_pcd(path: Union[str, Path]) -> Tuple[np.ndarray, Optional[np.ndarray]]:
                     flat_names.append(fname)
                     cols.append(arr[:, i])
                 i += cnt
-            rec = np.core.records.fromarrays(cols, names=",".join(flat_names))
+            rec = np.rec.fromarrays(cols, names=",".join(flat_names))
             return _extract(rec, flat_names)
         elif mode == "binary":
             rec = np.frombuffer(f.read(), dtype=dtype, count=n)

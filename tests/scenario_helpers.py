@@ -151,7 +151,7 @@ def _write_pcd(path, pts):
         "VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
         f"WIDTH {len(pts)}\nHEIGHT 1\nPOINTS {len(pts)}\nDATA binary\n"
     )
-    rec = np.core.records.fromarrays(
+    rec = np.rec.fromarrays(
         [pts[:, 0], pts[:, 1], pts[:, 2]], formats="<f4,<f4,<f4", names="x,y,z"
     )
     with open(path, "wb") as f:

@@ -30,7 +30,7 @@ def test_ply_binary_roundtrip(tmp_path):
             + b"property float x\nproperty float y\nproperty float z\n"
             + b"property float time\nend_header\n"
         )
-        rec = np.core.records.fromarrays(
+        rec = np.rec.fromarrays(
             [pts[:, 0], pts[:, 1], pts[:, 2], stamps], names="x,y,z,time"
         )
         fh.write(rec.tobytes())
@@ -61,7 +61,7 @@ def test_pcd_binary_roundtrip(tmp_path):
         f"COUNT 1 1 1 1\nWIDTH {len(pts)}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
         f"POINTS {len(pts)}\nDATA binary\n"
     )
-    rec = np.core.records.fromarrays(
+    rec = np.rec.fromarrays(
         [pts[:, 0], pts[:, 1], pts[:, 2], ts_field], names="x,y,z,t",
         formats="<f4,<f4,<f4,<u4",
     )
