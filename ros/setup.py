@@ -15,7 +15,7 @@ package_name = "kiss_icp_tpu"
 
 setup(
     name=package_name,
-    version="0.2.0",
+    version="0.3.0",
     packages=[],
     data_files=[
         ("share/ament_index/resource_index/packages",
