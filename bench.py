@@ -248,23 +248,30 @@ def child_ab() -> dict:
 
     best = {}
     for name, (up, storage, k, nn) in AB_VARIANTS.items():
-        cfg = _config(up, storage, k, nn)
-        chunk = make_chunked_step(cfg)
-        t0 = time.perf_counter()
-        state = init_state(cfg)
-        state, summary = chunk(state, pts, ts, valid)
-        jax.block_until_ready(summary.poses)
-        compile_s = time.perf_counter() - t0
-        rounds = []
-        for _ in range(3):
-            st = init_state(cfg)
+        # A transient tunnel fault (remote-compile connection drop, device
+        # error) on one variant must not lose the variants already timed.
+        try:
+            cfg = _config(up, storage, k, nn)
+            chunk = make_chunked_step(cfg)
             t0 = time.perf_counter()
-            st, summary = chunk(st, pts, ts, valid)
+            state = init_state(cfg)
+            state, summary = chunk(state, pts, ts, valid)
             jax.block_until_ready(summary.poses)
-            rounds.append(N_FRAMES / (time.perf_counter() - t0))
-        best[name] = max(rounds)
-        log(f"ab {name}: compile {compile_s:.1f}s, rounds "
-            + " ".join(f"{r:.0f}" for r in rounds))
+            compile_s = time.perf_counter() - t0
+            rounds = []
+            for _ in range(3):
+                st = init_state(cfg)
+                t0 = time.perf_counter()
+                st, summary = chunk(st, pts, ts, valid)
+                jax.block_until_ready(summary.poses)
+                rounds.append(N_FRAMES / (time.perf_counter() - t0))
+            best[name] = max(rounds)
+            log(f"ab {name}: compile {compile_s:.1f}s, rounds "
+                + " ".join(f"{r:.0f}" for r in rounds))
+        except Exception as e:
+            log(f"ab {name}: failed ({type(e).__name__}: {e})")
+        _publish_partial(
+            {"mode": "ab", **{n: round(v, 2) for n, v in best.items()}})
     return {"mode": "ab", **{n: round(v, 2) for n, v in best.items()}}
 
 
@@ -420,12 +427,19 @@ def _run_child(mode: str, salt: int, timeout: int) -> dict | None:
         log(f"[{mode} salt={salt}] timed out (slow-mode process)")
         return None
     sys.stderr.write(proc.stderr)
-    if os.path.exists(result_file):
-        os.unlink(result_file)
     result = None
     for line in proc.stdout.strip().splitlines():
         if line.startswith("{"):
             result = json.loads(line)
+    if result is None and os.path.exists(result_file):
+        # Child crashed after publishing a snapshot (e.g. a transient tunnel
+        # fault mid-variant): the timings already taken are still good.
+        with open(result_file) as f:
+            result = json.load(f)
+        log(f"[{mode} salt={salt}] crashed (exit {proc.returncode}); "
+            f"salvaged partial {result}")
+    if os.path.exists(result_file):
+        os.unlink(result_file)
     if result is None:
         log(f"[{mode} salt={salt}] no result (exit {proc.returncode})")
     return result
