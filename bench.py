@@ -1,11 +1,19 @@
 """Benchmark: odometry throughput on synthetic LiDAR (one TPU chip).
 
-Prints ONE JSON line for the driver:
+Prints the driver-parseable JSON line (the driver takes the LAST one):
 
     {"metric": "odometry_frames_per_s_per_chip", "value": N, "unit": "frames/s",
-     "vs_baseline": N / 100.0}
+     "vs_baseline": N / 100.0, "median_fps": M, "steady_state_fps": S,
+     "batched_seq_fps": B}
 
-vs_baseline measures against the BASELINE.md target of >= 100 frames/s/chip.
+vs_baseline measures against the BASELINE.md target of >= 100 frames/s/chip;
+`value` is the best chunked draw on a young map, `median_fps` the median over
+healthy draws, `steady_state_fps` the 240-frame soak rate at full map
+occupancy (the honest long-drive number). The line prints immediately after
+the headline child succeeds AND again enriched at the end, and the whole run
+is budgeted by KISS_BENCH_BUDGET_S (default 35 min) so a driver kill cannot
+erase the round's number (round 2 failure mode). Raw per-child stdout/stderr
+land under bench_logs/<stamp>/ as the audit trail.
 All other measurements go to stderr as diagnostics:
 
   * chunked    — the headline: K frames advance under one `lax.scan`
@@ -41,10 +49,22 @@ import numpy as np  # noqa: E402
 
 TARGET_FPS = 100.0  # BASELINE.md: >= 100 frames/s per chip
 N_FRAMES = 14
+# A draw unambiguously in the tunnel's fast-execution mode (see parent() /
+# child_chunked): used both for the child's in-process early-out and the
+# parent's skip-retries decision, so it lives in ONE place.
+FAST_DRAW_FPS = 1400.0
 
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
+
+
+def emit_headline(parsed: dict) -> None:
+    """Print the ONE driver-parseable JSON line (the driver takes the LAST
+    such line on stdout). Called immediately after the headline child — so a
+    later driver kill (rc=124, the round-2 failure) still leaves a captured
+    number — and again at the end with the full summary fields."""
+    print(json.dumps(parsed), flush=True)
 
 
 def _publish_partial(result: dict) -> None:
@@ -151,8 +171,8 @@ def child_chunked(use_pallas, map_storage: str = "f32",
 
     deadline = time.monotonic() + float(
         os.environ.get("KISS_BENCH_CHUNKED_BUDGET_S", "420"))
-    fast_enough = 1400.0  # unambiguously a fast-mode draw (see parent())
     best = 0.0
+    all_fps = []  # every timed round, for median-of-draws reporting
     last_summary = None
     for subsalt in range(8):
         cfg = _config(use_pallas, map_storage, probe_length, subsalt=subsalt)
@@ -174,9 +194,21 @@ def child_chunked(use_pallas, map_storage: str = "f32",
             log(f"round {subsalt}.{rnd}: {dt*1e3:.1f} ms -> "
                 f"{dt/N_FRAMES*1e3:.2f} ms/frame ({fps:.1f} fps)")
             best = max(best, fps)
+            all_fps.append(fps)
             last_summary = summary
-        _publish_partial({"mode": mode or "chunked", "fps": round(best, 2)})
-        if best >= fast_enough or time.monotonic() > deadline:
+            if time.monotonic() > deadline:
+                break  # the budget bounds wall time, not program count
+        # Median over healthy rounds (>= half the best draw): the honest
+        # central tendency alongside the best-of-draws headline — a draw in
+        # the tunnel's slow mode is an environment artifact, not a sample.
+        healthy = [f for f in all_fps if f >= 0.5 * best]
+        snapshot = {"mode": mode or "chunked", "fps": round(best, 2),
+                    "median_fps": round(float(np.median(healthy)), 2)}
+        try:
+            _publish_partial(snapshot)
+        except OSError as e:
+            log(f"publish_partial failed ({e}); continuing")
+        if best >= FAST_DRAW_FPS or time.monotonic() > deadline:
             break
 
     # All timing done; host reads are safe now.
@@ -201,7 +233,9 @@ def child_chunked(use_pallas, map_storage: str = "f32",
             mode = "jnp"
         else:
             mode = "chunked"  # the shipped default: Pallas-on-TPU ("auto")
+    healthy = [f for f in all_fps if f >= 0.5 * best]
     return {"mode": mode, "fps": round(best, 2),
+            "median_fps": round(float(np.median(healthy)), 2),
             "ate_trans": round(float(ate_trans), 4)}
 
 
@@ -268,10 +302,11 @@ def child_ab() -> dict:
             best[name] = max(rounds)
             log(f"ab {name}: compile {compile_s:.1f}s, rounds "
                 + " ".join(f"{r:.0f}" for r in rounds))
+            if best:  # nothing worth snapshotting before the first timing
+                _publish_partial(
+                    {"mode": "ab", **{n: round(v, 2) for n, v in best.items()}})
         except Exception as e:
             log(f"ab {name}: failed ({type(e).__name__}: {e})")
-        _publish_partial(
-            {"mode": "ab", **{n: round(v, 2) for n, v in best.items()}})
     return {"mode": "ab", **{n: round(v, 2) for n, v in best.items()}}
 
 
@@ -404,6 +439,21 @@ def child_streaming() -> dict:
 # Parent orchestration.
 # --------------------------------------------------------------------------
 
+_LOG_DIR = None  # set by parent(): bench_logs/<UTC stamp>/ audit trail
+
+
+def _save_child_log(mode: str, salt: int, stdout: str, stderr: str) -> None:
+    """Raw per-child output under bench_logs/ so every number published in
+    BASELINE.md maps to a committed artifact (VERDICT r2 'audit trail')."""
+    if _LOG_DIR is None:
+        return
+    try:
+        with open(os.path.join(_LOG_DIR, f"{mode}_salt{salt}.log"), "w") as f:
+            f.write(f"--- stdout ---\n{stdout}\n--- stderr ---\n{stderr}\n")
+    except OSError as e:
+        log(f"child log write failed ({e})")
+
+
 def _run_child(mode: str, salt: int, timeout: int) -> dict | None:
     result_file = f"/tmp/kiss_bench_result_{mode}_{salt}_{os.getpid()}.json"
     env = dict(os.environ, KISS_BENCH_SALT=str(salt),
@@ -413,7 +463,12 @@ def _run_child(mode: str, salt: int, timeout: int) -> dict | None:
             [sys.executable, os.path.abspath(__file__), "--child", mode],
             capture_output=True, text=True, timeout=timeout, env=env,
         )
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as te:
+        _save_child_log(mode, salt,
+                        (te.stdout or b"").decode() if isinstance(te.stdout, bytes)
+                        else (te.stdout or ""),
+                        ((te.stderr or b"").decode() if isinstance(te.stderr, bytes)
+                         else (te.stderr or "")) + "\n[killed: child timeout]")
         # Salvage a partial result if the child published one before dying
         # (a post-timing d2h read stalling through the tunnel does not
         # invalidate the host-side timing already taken).
@@ -426,6 +481,7 @@ def _run_child(mode: str, salt: int, timeout: int) -> dict | None:
             return salvaged
         log(f"[{mode} salt={salt}] timed out (slow-mode process)")
         return None
+    _save_child_log(mode, salt, proc.stdout, proc.stderr)
     sys.stderr.write(proc.stderr)
     result = None
     for line in proc.stdout.strip().splitlines():
@@ -445,15 +501,63 @@ def _run_child(mode: str, salt: int, timeout: int) -> dict | None:
     return result
 
 
+def _parsed_line(headline, soak=None, batched=None) -> dict:
+    """The driver-parseable object. `value` is the best chunked draw;
+    `median_fps` the median over healthy draws (the lottery-free central
+    tendency) and `steady_state_fps` the full-map soak rate — both carried so
+    the published number is not a lucky-draw / young-map artifact (VERDICT r2
+    weak #2, #4)."""
+    best = headline["fps"] if headline else 0.0
+    out = {
+        "metric": "odometry_frames_per_s_per_chip",
+        "value": best,
+        "unit": "frames/s",
+        "vs_baseline": round(best / TARGET_FPS, 3),
+        "median_fps": headline.get("median_fps") if headline else None,
+        "steady_state_fps": soak.get("steady_fps") if soak else None,
+        "batched_seq_fps": batched.get("seq_fps") if batched else None,
+    }
+    return out
+
+
 def parent() -> int:
+    """Wall-clock-budgeted orchestration (VERDICT r2: round 2's official
+    number was null because the driver killed bench.py before the single
+    end-of-run JSON print — rc=124 in BENCH_r02.json).
+
+    Discipline now: (1) the headline JSON line prints IMMEDIATELY after the
+    first successful chunked child and again, enriched, at the end (the
+    driver takes the last line; an early kill still captures a number);
+    (2) every further child is gated on the remaining budget
+    (KISS_BENCH_BUDGET_S, default 35 min), priority order
+    chunked -> soak -> batched -> ab -> streaming."""
+    global _LOG_DIR
+    t_start = time.monotonic()
+    budget = float(os.environ.get("KISS_BENCH_BUDGET_S", "2100"))
+
+    def remaining() -> float:
+        return budget - (time.monotonic() - t_start)
+
+    stamp = time.strftime("%Y%m%d_%H%M%S", time.gmtime())
+    _LOG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_logs", stamp)
+    try:
+        os.makedirs(_LOG_DIR, exist_ok=True)
+    except OSError as e:
+        log(f"bench_logs dir unavailable ({e}); raw child logs disabled")
+        _LOG_DIR = None
+
     headline = None
 
     # Pre-generate the scan caches OUTSIDE the child timeouts (scan synthesis
-    # is minutes of host numpy for the 240-frame soak; see _scans).
-    for n in (N_FRAMES, 240):
-        t0 = time.perf_counter()
-        _scans(_config(), n)
-        log(f"scan cache for {n} frames ready in {time.perf_counter()-t0:.0f}s")
+    # is minutes of host numpy for the 240-frame soak; see _scans). The
+    # headline needs only the 14-frame cache; the 240-frame one is generated
+    # AFTER the headline children when cold (soak runs later anyway), so a
+    # cold cache can never starve the headline of budget.
+    t0 = time.perf_counter()
+    _scans(_config(), N_FRAMES)
+    log(f"scan cache for {N_FRAMES} frames ready in "
+        f"{time.perf_counter()-t0:.0f}s")
 
     # Headline: chunked fps. The child re-rolls the tunnel's per-(process,
     # program) slow-execution lottery in-process (up to 8 perturbed programs
@@ -462,46 +566,77 @@ def parent() -> int:
     # can sit at several hundred fps and still be 40% below the chip's real
     # capability, so only an unambiguously good draw skips retries.
     for attempt in range(2):
-        r = _run_child("chunked", attempt, timeout=900)
+        r = _run_child("chunked", attempt,
+                       timeout=int(max(300, min(900, remaining()))))
         if r and (headline is None or r["fps"] > headline["fps"]):
             headline = r
-        if headline and headline["fps"] >= 1400.0:
+        if headline:
+            emit_headline(_parsed_line(headline))  # capture-proof: print NOW
+        if headline and headline["fps"] >= FAST_DRAW_FPS:
             break
-    # Variant A/B matrix: consecutive per-variant rounds, per-variant maxima
-    # merged over two salted children (see child_ab for the tunnel facts).
-    ab = None
-    for attempt in (7, 8):
-        r = _run_child("ab", attempt, timeout=1800)
-        if r and ab:
-            ab = {k: max(ab.get(k, 0), v) if isinstance(v, (int, float)) else v
-                  for k, v in r.items()}
-        elif r:
-            ab = r
+
+    def budget_ok(mode: str, need_s: float) -> bool:
+        if remaining() >= need_s:
+            return True
+        log(f"budget: skipping {mode} ({remaining():.0f}s left, "
+            f"needs ~{need_s:.0f}s)")
+        return False
+
+    # Soak: the steady-state (full-map) number belongs in the parsed line.
+    soak = None
+    if budget_ok("soak scan-cache", 400):
+        t0 = time.perf_counter()
+        _scans(_config(), 240)
+        log(f"scan cache for 240 frames ready in {time.perf_counter()-t0:.0f}s")
+        for attempt in (21, 22, 23):
+            if soak or not budget_ok("soak", 300):
+                break
+            soak = _run_child("soak", attempt,
+                              timeout=int(min(1200, remaining() + 60)))
     # Batched multi-sequence (BASELINE scenario): a headline-grade number.
     batched = None
     for attempt in (11, 12):
-        batched = _run_child("batched", attempt, timeout=900)
-        if batched:
+        if batched or not budget_ok("batched", 200):
             break
-    # Soak + streaming diagnostics.
-    soak = None
-    for attempt in (21, 22, 23):
-        soak = _run_child("soak", attempt, timeout=1200)
-        if soak:
+        batched = _run_child("batched", attempt,
+                             timeout=int(min(900, remaining() + 60)))
+    if headline:
+        emit_headline(_parsed_line(headline, soak, batched))
+    # Variant A/B matrix: consecutive per-variant rounds, per-variant maxima
+    # merged over two salted children (see child_ab for the tunnel facts).
+    # Merge over the UNION of keys: a partial second attempt (crash salvage)
+    # must not erase variants only the first attempt timed.
+    ab = None
+    for attempt in (7, 8):
+        if not budget_ok("ab", 400):
             break
-    streaming = _run_child("streaming", 31, timeout=900)
+        r = _run_child("ab", attempt, timeout=int(min(1800, remaining() + 60)))
+        if r and ab:
+            merged = {}
+            for k in ab.keys() | r.keys():
+                a, b = ab.get(k), r.get(k)
+                if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+                    merged[k] = max(a, b)
+                else:
+                    merged[k] = b if a is None else a
+            ab = merged
+        elif r:
+            ab = r
+    streaming = (_run_child("streaming", 31,
+                            timeout=int(min(900, remaining() + 60)))
+                 if budget_ok("streaming", 200) else None)
 
     summary = {"headline": headline, "ab": ab, "batched": batched,
                "soak": soak, "streaming": streaming}
     log("bench summary: " + json.dumps(summary))
+    if _LOG_DIR:
+        try:
+            with open(os.path.join(_LOG_DIR, "summary.json"), "w") as f:
+                json.dump(summary, f, indent=1)
+        except OSError:
+            pass
 
-    best = headline["fps"] if headline else 0.0
-    print(json.dumps({
-        "metric": "odometry_frames_per_s_per_chip",
-        "value": best,
-        "unit": "frames/s",
-        "vs_baseline": round(best / TARGET_FPS, 3),
-    }))
+    emit_headline(_parsed_line(headline, soak, batched))
     return 0
 
 
