@@ -57,7 +57,8 @@ class CompactConfig:
 
     live_capacity_log2 bounds the number of live voxels representable; a map
     with more live voxels than this overflows (surfaced via `num_dropped`,
-    and the engine falls back to the sparse-path query — never silently).
+    and registration.align_points_to_map falls back to the sparse-path query
+    via lax.cond — accuracy preserved, compact speed advantage lost).
     hash_capacity_log2 should be live_capacity_log2 + 2 (load factor 0.25).
     """
 

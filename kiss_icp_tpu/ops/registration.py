@@ -227,7 +227,18 @@ def align_points_to_map(
                  else cmod.query_nearest_compact_loop)
 
         def nn(src):
-            return query(cfg, ccfg, cm, src, valid)
+            # Overflow fallback (CompactConfig docstring contract): when the
+            # map has more live voxels than the compact view can represent,
+            # query the full sparse map instead — accuracy is preserved, only
+            # the speed advantage is lost. The drop count still surfaces
+            # through FrameResult so the pipeline can tell the user to raise
+            # nn_live_capacity_log2.
+            return jax.lax.cond(
+                cm.num_dropped > 0,
+                lambda s: hash_map.query_nearest(cfg, m, s, valid),
+                lambda s: query(cfg, ccfg, cm, s, valid),
+                src,
+            )
     elif nn_mode == "pallas_fused":
         from kiss_icp_tpu.ops import pallas_nn
 

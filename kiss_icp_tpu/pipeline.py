@@ -63,8 +63,10 @@ class OdometryPipeline:
         self.results = PipelineResults()
         self.total_dropped_downsample = 0
         self.total_dropped_map_voxels = 0
+        self.total_dropped_input = 0
         self._warned_overflow_downsample = False
         self._warned_overflow_map = False
+        self._warned_overflow_input = False
 
         if visualizer is None:
             from kiss_icp_tpu.tools.visualizer import StubVisualizer
@@ -174,6 +176,7 @@ class OdometryPipeline:
             self._check_overflow(
                 int(np.sum(np.asarray(summary.num_dropped_downsample))),
                 int(np.sum(np.asarray(summary.num_dropped_map_voxels))),
+                self.odometry.last_chunk_input_dropped,
             )
             idx += k
             done += k
@@ -187,10 +190,24 @@ class OdometryPipeline:
         except AttributeError:
             pass
 
-    def _check_overflow(self, dropped_downsample: int, dropped_map: int):
+    def _check_overflow(self, dropped_downsample: int, dropped_map: int,
+                        dropped_input: int = 0):
         """Surface silent capacity overflow: the reference's std::vector-backed
         structures are unbounded (VoxelHashMap.cpp:97-119); our fixed-shape
         buffers drop on overflow, which degrades accuracy and MUST be loud."""
+        self.total_dropped_input += dropped_input
+        if dropped_input and not self._warned_overflow_input:
+            self._warned_overflow_input = True
+            import warnings
+
+            warnings.warn(
+                f"input scan exceeded engine.max_points_per_frame: "
+                f"{dropped_input} points stride-subsampled away this frame — "
+                "raise engine.max_points_per_frame to keep the full scan "
+                "(accuracy degrades silently otherwise)",
+                RuntimeWarning,
+                stacklevel=3,
+            )
         self.total_dropped_downsample += dropped_downsample
         self.total_dropped_map_voxels += dropped_map
         if dropped_downsample and not self._warned_overflow_downsample:
@@ -210,9 +227,12 @@ class OdometryPipeline:
 
             warnings.warn(
                 f"voxel map dropped {dropped_map} voxels this frame: "
-                "raise engine.map_capacity_log2 / engine.probe_length (or, "
-                "with a compact nn_mode, engine.nn_live_capacity_log2) — "
-                "accuracy degrades silently otherwise",
+                "raise engine.map_capacity_log2 / engine.probe_length — "
+                "accuracy degrades silently otherwise. (With a compact "
+                "nn_mode this can also mean the live-voxel view overflowed: "
+                "registration then falls back to the sparse-map query — "
+                "accuracy is preserved but the compact speed advantage is "
+                "lost; raise engine.nn_live_capacity_log2.)",
                 RuntimeWarning,
                 stacklevel=3,
             )
@@ -255,6 +275,11 @@ class OdometryPipeline:
             self.results.append(
                 desc="Dropped voxels (capacity overflow)", units="count",
                 value=self.total_dropped_downsample + self.total_dropped_map_voxels,
+            )
+        if self.total_dropped_input:
+            self.results.append(
+                desc="Dropped input points (max_points_per_frame)", units="count",
+                value=self.total_dropped_input,
             )
 
     # --- Output writing (reference pipeline.py:115-169,194-217) -----------

@@ -92,3 +92,48 @@ def test_trim_then_rebuild():
     np.testing.assert_array_equal(f, np.asarray(got.found))
     np.testing.assert_array_equal(np.asarray(ref.distances)[f],
                                   np.asarray(got.distances)[f])
+
+
+def test_overflow_falls_back_to_sparse_query():
+    """CompactConfig docstring contract: when live voxels exceed the compact
+    view's capacity, registration falls back to the full sparse-map query
+    (lax.cond in align_points_to_map) — the pose must match nn_mode="gather27"
+    to f32 ulp level (the cond changes the XLA program, so fused arithmetic
+    can round differently; the NN answers themselves are bit-identical, see
+    the parity tests above), with the overflow still surfaced via the drop
+    counter."""
+    from kiss_icp_tpu.ops import registration, se3
+
+    cfg, m = _build_map()
+    n_live = int(np.sum(np.asarray(m.counts) > 0))
+    assert n_live > (1 << 8)
+
+    rng = np.random.default_rng(3)
+    q = rng.uniform(-10.0, 10.0, size=(256, 3)).astype(np.float32)
+    valid = np.ones((256,), bool)
+    guess = np.asarray(se3.identity()).copy()
+    guess[:3, 3] = [0.05, -0.03, 0.02]
+
+    kwargs = dict(
+        points=jnp.asarray(q), valid=jnp.asarray(valid),
+        initial_guess=jnp.asarray(guess),
+        max_distance=jnp.asarray(1.5, jnp.float32),
+        kernel_scale=jnp.asarray(0.5, jnp.float32),
+        max_iterations=20, convergence=1e-4,
+    )
+    ref = registration.align_points_to_map(cfg, m, nn_mode="gather27", **kwargs)
+    got = registration.align_points_to_map(
+        cfg, m, nn_mode="compact", nn_live_capacity_log2=8, **kwargs
+    )
+    assert int(got.num_dropped_compact) == n_live - (1 << 8)
+    np.testing.assert_allclose(np.asarray(ref.pose), np.asarray(got.pose),
+                               atol=1e-6)
+    assert int(ref.num_iterations) == int(got.num_iterations)
+
+    # And with ample capacity the compact path itself is used (no drops).
+    ok = registration.align_points_to_map(
+        cfg, m, nn_mode="compact", nn_live_capacity_log2=12, **kwargs
+    )
+    assert int(ok.num_dropped_compact) == 0
+    np.testing.assert_allclose(np.asarray(ref.pose), np.asarray(ok.pose),
+                               atol=1e-6)

@@ -60,11 +60,21 @@ def test_full_pipeline_matches_oracle_pipeline():
         last_delta = np.linalg.inv(last_pose) @ theirs
         last_pose = theirs
 
+        # Tolerance diagnosis (2026-08-19, VERDICT r2 weak #6): the measured
+        # envelope on this scene is dt <= 0.022 m / dr <= 8e-4 (frame 1 is
+        # the worst). The residual gap is NOT a solver bug: the f32 voxel
+        # floor flips boundary points into different voxels than f64, so the
+        # downsampled source sets differ by a point or two (625 vs 624
+        # correspondences on frame 1), which shifts the GM objective's flat
+        # basin ~2 cm. Both poses satisfy |dx| < 1e-4 and their GM costs
+        # agree within 2.5%. Tightening below ~0.03 m therefore requires f64
+        # voxelization, which TPUs do not natively run; long-horizon drift
+        # GROWTH is bounded separately by test_long_horizon.py.
         np.testing.assert_allclose(
-            ours[:3, 3], theirs[:3, 3], atol=0.06,
+            ours[:3, 3], theirs[:3, 3], atol=0.03,
             err_msg=f"frame {i}: translation diverged from reference oracle",
         )
         np.testing.assert_allclose(
-            ours[:3, :3], theirs[:3, :3], atol=5e-3,
+            ours[:3, :3], theirs[:3, :3], atol=2e-3,
             err_msg=f"frame {i}: rotation diverged from reference oracle",
         )

@@ -94,6 +94,46 @@ def test_pipeline_warns_on_overflow(tmp_path):
     assert pipeline.total_dropped_downsample > 0
 
 
+def test_pipeline_warns_on_input_truncation(tmp_path):
+    """A scan above engine.max_points_per_frame is stride-subsampled by
+    KissICP._pad — the FIRST capacity gate must be as loud as the others
+    (a 150k-point HDL-64 scan vs the default 65536 cap would otherwise
+    silently lose half its points)."""
+    from kiss_icp_tpu.pipeline import OdometryPipeline
+
+    cfg = _config(frame_capacity=4096, source_capacity=2048, map_capacity_log2=15)
+    cfg.engine.max_points_per_frame = 1024  # scans below are 2048 points
+    cfg.out_dir = str(tmp_path / "results")
+    pts, _, _ = _scan()
+    pipeline = OdometryPipeline(_ListDataset([pts, pts]), config=cfg)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pipeline.run()
+    messages = [str(w.message) for w in caught if w.category is RuntimeWarning]
+    assert any("max_points_per_frame" in m for m in messages), messages
+    assert pipeline.total_dropped_input == 2 * 1024
+    assert pipeline.odometry.total_input_dropped == 2 * 1024
+    descs = [r.desc for r in pipeline.results.metrics]
+    assert any("Dropped input points" in d for d in descs), descs
+
+
+def test_chunked_pipeline_counts_input_truncation(tmp_path):
+    from kiss_icp_tpu.pipeline import OdometryPipeline
+
+    cfg = _config(frame_capacity=4096, source_capacity=2048, map_capacity_log2=15)
+    cfg.engine.max_points_per_frame = 1024
+    cfg.engine.pipeline_chunk = 2
+    cfg.out_dir = str(tmp_path / "results")
+    pts, _, _ = _scan()
+    pipeline = OdometryPipeline(_ListDataset([pts, pts]), config=cfg)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pipeline.run()
+    messages = [str(w.message) for w in caught if w.category is RuntimeWarning]
+    assert any("max_points_per_frame" in m for m in messages), messages
+    assert pipeline.total_dropped_input == 2 * 1024
+
+
 def test_pipeline_silent_without_overflow(tmp_path):
     from kiss_icp_tpu.pipeline import OdometryPipeline
 
