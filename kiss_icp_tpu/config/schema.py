@@ -100,6 +100,12 @@ class EngineConfig:
     # chunk, which is how production deployments should run: per-execution
     # host overhead is amortized chunk-fold. Only used headless.
     pipeline_chunk: int = 1
+    # Shard the voxel map's slots over this many devices (power of two).
+    # 1 = replicated map (single-device path). >1 selects the map-sharded
+    # engine (parallel/sharded_map.py): per-device map memory drops by the
+    # shard count; NN answers combine over a ppermute ring and the normal
+    # equations psum over the mesh. Requires >= map_shards devices.
+    map_shards: int = 1
 
     @property
     def map_capacity(self) -> int:

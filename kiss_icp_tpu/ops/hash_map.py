@@ -406,11 +406,16 @@ def insert(cfg: MapConfig, m: VoxelMap, points: jnp.ndarray,
         return jnp.any(state[2])
 
     pending0 = gvalid & ~has_existing
-    assigned0 = jnp.full((v,), -1, jnp.int32)
+    # Fresh loop-carry constants inherit pending0's varying-manual-axes type
+    # (shard_map check_vma): `pending0 & False` is all-False but carries the
+    # mesh-varying tag when insert runs inside a map-sharded step; in the
+    # single-device path XLA folds it to a constant.
+    won0 = pending0 & False
+    assigned0 = jnp.where(won0, 0, jnp.int32(-1))
     fprints, vkeys, pending, assigned, _ = jax.lax.while_loop(
         claim_cond,
         claim_round,
-        (m.fprints, m.vkeys, pending0, assigned0, jnp.zeros((v,), bool)),
+        (m.fprints, m.vkeys, pending0, assigned0, won0),
     )
     dropped = jnp.sum((gvalid & ~has_existing & (assigned < 0)).astype(jnp.int32))
 
@@ -446,8 +451,9 @@ def insert(cfg: MapConfig, m: VoxelMap, points: jnp.ndarray,
         added = added + jnp.sum(accept.astype(jnp.int32)).astype(jnp.int32)
         return stored, cnt, added
 
+    added0 = jnp.where(jnp.any(won0), 0, 0)  # 0 with pending0's varying type
     stored, cnt, added = jax.lax.fori_loop(
-        0, cfg.group_capacity, accept_step, (stored, cnt, jnp.zeros((), jnp.int32))
+        0, cfg.group_capacity, accept_step, (stored, cnt, added0)
     )
 
     # --- Phase D: write rows back (re-encoded for quantized storage; the

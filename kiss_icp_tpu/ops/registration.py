@@ -118,6 +118,7 @@ def gauss_newton_loop(
     linsys_fn=build_linear_system,
     reduce_fn=lambda ls: ls,
     linsys_mask=None,
+    any_active_fn=lambda a: a,
 ):
     """The shared ICP while-loop (reference Registration.cpp:151-164).
 
@@ -131,6 +132,16 @@ def gauss_newton_loop(
         psum over a mesh axis when correspondences are sharded.
       * linsys_mask (N,) — optional extra mask on the correspondences used
         for the reduction (e.g. a 1/D stripe per device).
+      * any_active_fn(bool) -> bool — identity on one device. When several
+        independent solves share one SPMD program but communicate over
+        DISJOINT collective groups (the pod program: each seq row ring-
+        combines over its own "map" subgroup), every device must execute the
+        same NUMBER of collectives — XLA matches collective instances by
+        program point across the whole launch, so a row exiting its loop
+        early deadlocks the rows still iterating (measured: CPU collective-
+        permute rendezvous timeout). The caller passes a cross-row
+        any-reduce (e.g. psum over "seq" > 0); rows that are done keep
+        executing the loop body with their state frozen via jnp.where.
 
     Returns (t_icp (4,4), iterations ()) with t_icp the correction such that
     final pose = t_icp @ initial_guess.
@@ -141,10 +152,10 @@ def gauss_newton_loop(
 
     def cond(carry):
         _, _, it, done = carry
-        return (it < max_iterations) & ~done
+        return any_active_fn((it < max_iterations) & ~done)
 
     def body(carry):
-        src, t_icp, it, _ = carry
+        src, t_icp, it, done = carry
         dist, neighbors = query_fn(src)
         corr = jnp.isfinite(dist) & valid & (dist < max_distance)
         ls_mask = corr if linsys_mask is None else corr & linsys_mask
@@ -153,21 +164,37 @@ def gauss_newton_loop(
         est_local = se3.se3_exp(dx)
         # Conjugate the recentered increment back to the world frame.
         est = est_local.at[:3, 3].add(center - est_local[:3, :3] @ center)
-        src = se3.transform(est, src)
-        t_icp = est @ t_icp
+        new_src = se3.transform(est, src)
+        new_t_icp = est @ t_icp
         # Convergence uses the increment expressed at the WORLD origin like
         # the reference (`dx.norm() < criterion`, Registration.cpp:163): the
         # recentered dx has the smaller translation |v - w x c| — stopping on
         # it alone would terminate earlier than the reference every frame.
         v, w = dx[:3], dx[3:]
         v_world = v - jnp.cross(w, center)
-        done = jnp.sqrt(jnp.sum(v_world * v_world) + jnp.sum(w * w)) < convergence
-        return src, t_icp, it + 1, done
+        new_done = jnp.sqrt(
+            jnp.sum(v_world * v_world) + jnp.sum(w * w)) < convergence
+        # Freeze once converged: under a shared SPMD program (any_active_fn)
+        # a done row keeps executing the body — its collectives must still
+        # fire — but its state stops moving. Single device: done rows never
+        # re-enter the body, so the wheres are dead and fold away.
+        frozen = done | (it >= max_iterations)
+        src = jnp.where(frozen, src, new_src)
+        t_icp = jnp.where(frozen, t_icp, new_t_icp)
+        it = jnp.where(frozen, it, it + 1)
+        done = done | new_done
+        return src, t_icp, it, done
 
+    # Fresh loop-carry constants derive their varying-manual-axes type from
+    # max_distance (shard_map check_vma: under a mesh the loop outputs are
+    # mesh-varying, so the initial carries must be too). done0 is always
+    # False — `x < -inf` is False even for NaN — and everything folds to a
+    # constant in the single-device path.
+    done0 = max_distance < -jnp.inf
+    it0 = jnp.where(done0, jnp.int32(1), jnp.int32(0))
+    t_icp0 = jnp.where(done0, jnp.zeros((4, 4), jnp.float32), se3.identity())
     _, t_icp, iters, _ = jax.lax.while_loop(
-        cond,
-        body,
-        (src0, se3.identity(), jnp.zeros((), jnp.int32), jnp.zeros((), bool)),
+        cond, body, (src0, t_icp0, it0, done0),
     )
     return t_icp, iters
 

@@ -145,139 +145,246 @@ def _ring_min_combine(
     return best_d2, best_nn
 
 
-def make_map_sharded_step(config: KISSConfig, mesh: Mesh):
-    """Compile one odometry step with the map sharded over `mesh`'s map axis.
+class ShardFrameResult(NamedTuple):
+    """Per-frame scalars of a map-sharded step (all replicated across the
+    map axis — psum'd or deterministically recomputed on every member), so
+    the product pipeline can surface the same health counters as the
+    single-device FrameResult (VERDICT r2: per-shard stats were silently
+    discarded)."""
 
-    Returns `step(state, points (N,3), timestamps (N,), valid (N,))
-    -> (state, pose (4,4))`. Inputs are replicated; per-frame semantics match
-    `odometry.register_frame` (reference KissICP.cpp:35-68) except that
-    overflowing voxels drop per-shard (each shard has 1/D capacity).
+    pose: jnp.ndarray  # (4, 4)
+    sigma: jnp.ndarray  # ()
+    num_iterations: jnp.ndarray  # () int32
+    num_correspondences: jnp.ndarray  # () int32 — at convergence
+    num_dropped_downsample: jnp.ndarray  # () int32
+    num_dropped_map_voxels: jnp.ndarray  # () int32 — summed over shards
+    used_fallback: jnp.ndarray  # () bool
+    # Point outputs for the visualizer / reference register_frame API
+    # (kiss_icp.py:43-75 returns (frame, keypoints)). Populated only when the
+    # step is built `with_points=True` (per-frame product path); None in the
+    # chunked/pod programs, where stacking K x N x 3 buffers would dominate
+    # the output payload. None is a structural pytree node, so both variants
+    # trace cleanly.
+    frame_points: jnp.ndarray = None  # (N, 3) deskewed + cropped frame
+    frame_valid: jnp.ndarray = None  # (N,)
+    source_points: jnp.ndarray = None  # (S, 3) ICP source (sensor frame)
+    source_valid: jnp.ndarray = None  # (S,)
+
+
+def frame_step_shard(
+    config: KISSConfig,
+    mcfg_local: hash_map.MapConfig,
+    n_shards: int,
+    state: ShardedMapState,
+    points: jnp.ndarray,
+    timestamps: jnp.ndarray,
+    valid: jnp.ndarray,
+    sync_axis: str = None,
+    with_points: bool = False,
+) -> Tuple[ShardedMapState, ShardFrameResult]:
+    """One odometry frame on one map shard. MUST run inside a shard_map whose
+    mesh has the `MAP_AXIS` axis (extent `n_shards`); state leaves carry the
+    local 1/n_shards slot extent. Shared by the single-sequence map-sharded
+    step below and the composed ("seq", "map") pod program (parallel/pod.py).
+
+    `sync_axis`: when other independent solves share this SPMD program over
+    another mesh axis (the pod's "seq"), the ICP loop's trip count must be
+    uniform across that axis or the disjoint ring collectives deadlock —
+    pass the axis name and the loop runs until every member converges
+    (finished members freeze; see registration.gauss_newton_loop).
     """
-    n_shards = mesh.shape[MAP_AXIS]
-    mcfg_local = local_map_config(config, mesh)
     vsize = float(config.mapping.voxel_size)
     max_iterations = int(config.registration.max_num_iterations)
     convergence = float(config.registration.convergence_criterion)
 
-    def step_shard(state: ShardedMapState, points, timestamps, valid):
-        sid = jax.lax.axis_index(MAP_AXIS).astype(jnp.int32)
-        m = hash_map.VoxelMap(
-            vkeys=state.vkeys,
-            fprints=state.fprints,
-            counts=state.counts,
-            points=state.points,
-            total_points=state.total_points[0],
-            num_dropped_voxels=state.num_dropped_voxels[0],
+    sid = jax.lax.axis_index(MAP_AXIS).astype(jnp.int32)
+    m = hash_map.VoxelMap(
+        vkeys=state.vkeys,
+        fprints=state.fprints,
+        counts=state.counts,
+        points=state.points,
+        total_points=state.total_points[0],
+        num_dropped_voxels=state.num_dropped_voxels[0],
+    )
+
+    # 1.-2. Deskew + crop + double downsample: replicated, deterministic.
+    prep = preprocess.preprocess(
+        points, timestamps, valid, state.delta,
+        max_range=float(config.data.max_range),
+        min_range=float(config.data.min_range),
+        deskew=bool(config.data.deskew),
+    )
+    frame_ds = voxel.voxel_downsample(
+        prep.points, prep.valid, voxel_size=vsize * 0.5,
+        capacity=int(config.engine.frame_capacity),
+    )
+    source = voxel.voxel_downsample(
+        frame_ds.points, frame_ds.valid, voxel_size=vsize * 1.5,
+        capacity=int(config.engine.source_capacity),
+    )
+
+    # 3.-4. Threshold + constant-velocity guess (replicated).
+    fixed = config.adaptive_threshold.fixed_threshold
+    sigma = (
+        jnp.asarray(float(fixed), jnp.float32)
+        if fixed is not None
+        else threshold.compute_threshold(state.threshold)
+    )
+    initial_guess = state.pose @ state.delta
+    max_distance = 3.0 * sigma
+
+    # 5. ICP with sharded association + psum'd normal equations.
+    guess = initial_guess.astype(jnp.float32)
+    n_src = source.points.shape[0]
+    my_stripe = (jnp.arange(n_src, dtype=jnp.int32) % n_shards) == sid
+    global_empty = jax.lax.psum(m.total_points, MAP_AXIS) == 0
+
+    def query_fn(src):
+        q = hash_map.query_nearest(mcfg_local, m, src, source.valid)
+        d2, nn = _ring_min_combine(
+            jnp.square(q.distances), q.neighbors, MAP_AXIS, n_shards
+        )
+        return jnp.sqrt(d2), nn
+
+    def reduce_fn(ls):
+        return registration.LinearSystem(
+            jax.lax.psum(ls.jtj, MAP_AXIS),
+            jax.lax.psum(ls.jtr, MAP_AXIS),
+            jax.lax.psum(ls.num_correspondences, MAP_AXIS),
         )
 
-        # 1.-2. Deskew + crop + double downsample: replicated, deterministic.
-        prep = preprocess.preprocess(
-            points, timestamps, valid, state.delta,
-            max_range=float(config.data.max_range),
-            min_range=float(config.data.min_range),
-            deskew=bool(config.data.deskew),
-        )
-        frame_ds = voxel.voxel_downsample(
-            prep.points, prep.valid, voxel_size=vsize * 0.5,
-            capacity=int(config.engine.frame_capacity),
-        )
-        source = voxel.voxel_downsample(
-            frame_ds.points, frame_ds.valid, voxel_size=vsize * 1.5,
-            capacity=int(config.engine.source_capacity),
-        )
+    if sync_axis is None:
+        any_active_fn = lambda a: a  # noqa: E731
+    else:
+        def any_active_fn(a):
+            return jax.lax.psum(a.astype(jnp.int32), sync_axis) > 0
 
-        # 3.-4. Threshold + constant-velocity guess (replicated).
-        fixed = config.adaptive_threshold.fixed_threshold
-        sigma = (
-            jnp.asarray(float(fixed), jnp.float32)
-            if fixed is not None
-            else threshold.compute_threshold(state.threshold)
-        )
-        initial_guess = state.pose @ state.delta
-        max_distance = 3.0 * sigma
+    t_icp, iters = registration.gauss_newton_loop(
+        source.points, source.valid, guess, max_distance, sigma,
+        query_fn=query_fn, max_iterations=max_iterations,
+        convergence=convergence, reduce_fn=reduce_fn,
+        linsys_mask=my_stripe, any_active_fn=any_active_fn,
+    )
+    aligned = t_icp @ guess
+    pose_finite = jnp.all(jnp.isfinite(aligned))
+    new_pose = jnp.where(global_empty, guess,
+                         jnp.where(pose_finite, aligned, guess))
+    new_pose = se3.orthonormalize(new_pose)  # see se3.orthonormalize
 
-        # 5. ICP with sharded association + psum'd normal equations.
-        guess = initial_guess.astype(jnp.float32)
-        n_src = source.points.shape[0]
-        my_stripe = (jnp.arange(n_src, dtype=jnp.int32) % n_shards) == sid
-        global_empty = jax.lax.psum(m.total_points, MAP_AXIS) == 0
+    # Final correspondence count for diagnostics. Each shard counts its 1/D
+    # stripe of the ring-combined result and the psum yields the (replicated)
+    # global count — the combined distances are identical on every shard, but
+    # only the psum makes that replication checkable (check_vma).
+    dist_f, _ = query_fn(se3.transform(new_pose, source.points))
+    corr_f = jnp.isfinite(dist_f) & source.valid & (dist_f < max_distance)
+    n_corr = jax.lax.psum(
+        jnp.sum((corr_f & my_stripe).astype(jnp.int32)), MAP_AXIS
+    )
 
-        def query_fn(src):
-            q = hash_map.query_nearest(mcfg_local, m, src, source.valid)
-            d2, nn = _ring_min_combine(
-                jnp.square(q.distances), q.neighbors, MAP_AXIS, n_shards
-            )
-            return jnp.sqrt(d2), nn
+    # 6.-7. Threshold update (replicated).
+    model_deviation = se3.inverse(initial_guess) @ new_pose
+    new_threshold = threshold.update_model_deviation(
+        state.threshold, model_deviation,
+        max_range=float(config.data.max_range),
+        min_motion_th=float(config.adaptive_threshold.min_motion_th),
+    )
 
-        def reduce_fn(ls):
-            return registration.LinearSystem(
-                jax.lax.psum(ls.jtj, MAP_AXIS),
-                jax.lax.psum(ls.jtr, MAP_AXIS),
-                jax.lax.psum(ls.num_correspondences, MAP_AXIS),
-            )
+    # 8. Insert only the voxels this shard owns, then trim locally.
+    world_points = se3.transform(new_pose, frame_ds.points)
+    own = shard_of(
+        voxel.point_to_voxel(world_points, vsize), n_shards
+    ) == sid
+    new_map, ins = hash_map.insert(
+        mcfg_local, m, world_points, frame_ds.valid & own
+    )
+    new_map = hash_map.trim(mcfg_local, new_map, new_pose[:3, 3])
+    dropped_map = jax.lax.psum(ins.num_dropped_voxels, MAP_AXIS)
 
-        t_icp, _ = registration.gauss_newton_loop(
-            source.points, source.valid, guess, max_distance, sigma,
-            query_fn=query_fn, max_iterations=max_iterations,
-            convergence=convergence, reduce_fn=reduce_fn,
-            linsys_mask=my_stripe,
-        )
-        new_pose = jnp.where(global_empty, guess, t_icp @ guess)
-        new_pose = jnp.where(jnp.all(jnp.isfinite(new_pose)), new_pose,
-                             guess)
-        new_pose = se3.orthonormalize(new_pose)  # see se3.orthonormalize
+    new_state = ShardedMapState(
+        pose=new_pose,
+        delta=se3.inverse(state.pose) @ new_pose,
+        threshold=new_threshold,
+        vkeys=new_map.vkeys,
+        fprints=new_map.fprints,
+        counts=new_map.counts,
+        points=new_map.points,
+        total_points=new_map.total_points.reshape(1),
+        num_dropped_voxels=new_map.num_dropped_voxels.reshape(1),
+    )
+    result = ShardFrameResult(
+        pose=new_pose,
+        sigma=sigma,
+        num_iterations=jnp.where(global_empty, 0, iters),
+        num_correspondences=n_corr,
+        num_dropped_downsample=frame_ds.num_dropped + source.num_dropped,
+        num_dropped_map_voxels=dropped_map,
+        used_fallback=~pose_finite & ~global_empty,
+        frame_points=prep.points if with_points else None,
+        frame_valid=prep.valid if with_points else None,
+        source_points=source.points if with_points else None,
+        source_valid=source.valid if with_points else None,
+    )
+    return new_state, result
 
-        # 6.-7. Threshold update (replicated).
-        model_deviation = se3.inverse(initial_guess) @ new_pose
-        new_threshold = threshold.update_model_deviation(
-            state.threshold, model_deviation,
-            max_range=float(config.data.max_range),
-            min_motion_th=float(config.adaptive_threshold.min_motion_th),
-        )
 
-        # 8. Insert only the voxels this shard owns, then trim locally.
-        world_points = se3.transform(new_pose, frame_ds.points)
-        own = shard_of(
-            voxel.point_to_voxel(world_points, vsize), n_shards
-        ) == sid
-        new_map, _ = hash_map.insert(
-            mcfg_local, m, world_points, frame_ds.valid & own
-        )
-        new_map = hash_map.trim(mcfg_local, new_map, new_pose[:3, 3])
-
-        new_state = ShardedMapState(
-            pose=new_pose,
-            delta=se3.inverse(state.pose) @ new_pose,
-            threshold=new_threshold,
-            vkeys=new_map.vkeys,
-            fprints=new_map.fprints,
-            counts=new_map.counts,
-            points=new_map.points,
-            total_points=new_map.total_points.reshape(1),
-            num_dropped_voxels=new_map.num_dropped_voxels.reshape(1),
-        )
-        return new_state, new_pose
-
+def state_specs() -> ShardedMapState:
+    """PartitionSpecs of a ShardedMapState over the MAP_AXIS (per leaf)."""
     rep = P()
     shd = P(MAP_AXIS)
-    state_specs = ShardedMapState(
+    return ShardedMapState(
         pose=rep, delta=rep,
         threshold=threshold.ThresholdState(rep, rep, rep),
         vkeys=shd, fprints=shd, counts=shd, points=shd,
         total_points=shd, num_dropped_voxels=shd,
     )
+
+
+def result_specs(with_points: bool = False) -> ShardFrameResult:
+    """All ShardFrameResult leaves are replicated across the map axis.
+    The point-output fields are structural Nones unless `with_points`
+    (must mirror the result the traced step actually returns)."""
+    rep = P()
+    pts = rep if with_points else None
+    return ShardFrameResult(rep, rep, rep, rep, rep, rep, rep,
+                            pts, pts, pts, pts)
+
+
+def make_map_sharded_step(config: KISSConfig, mesh: Mesh,
+                          with_points: bool = False):
+    """Compile one odometry step with the map sharded over `mesh`'s map axis.
+
+    Returns `step(state, points (N,3), timestamps (N,), valid (N,))
+    -> (state, ShardFrameResult)`. Inputs are replicated; per-frame semantics
+    match `odometry.register_frame` (reference KissICP.cpp:35-68) except that
+    overflowing voxels drop per-shard (each shard has 1/D capacity).
+    `with_points` additionally returns the deskewed frame + ICP source
+    buffers (the reference register_frame's return value) for the
+    visualizer / product API.
+    """
+    n_shards = mesh.shape[MAP_AXIS]
+    mcfg_local = local_map_config(config, mesh)
+
+    def step_shard(state, points, timestamps, valid):
+        return frame_step_shard(
+            config, mcfg_local, n_shards, state, points, timestamps, valid,
+            with_points=with_points,
+        )
+
+    rep = P()
     mapped = shard_map(
         step_shard,
         mesh=mesh,
-        in_specs=(state_specs, rep, rep, rep),
-        out_specs=(state_specs, rep),
-        check_vma=False,
+        in_specs=(state_specs(), rep, rep, rep),
+        out_specs=(state_specs(), result_specs(with_points)),
     )
     return jax.jit(mapped)
 
 
 def make_map_sharded_chunked_step(config: KISSConfig, mesh: Mesh):
-    """K-frame advance of the map-sharded step under one `lax.scan`."""
+    """K-frame advance of the map-sharded step under one `lax.scan`.
+
+    Returns `chunk(state, points (K,N,3), ts (K,N), valid (K,N))
+    -> (state, ShardFrameResult with leading (K,) axis)`."""
     step = make_map_sharded_step(config, mesh)
 
     def chunk(state, points, timestamps, valid):

@@ -55,8 +55,8 @@ def test_pose_parity_with_single_device():
     sstate = sharded_map.init_sharded_state(cfg, mesh)
     sharded_poses = []
     for i in range(k):
-        sstate, pose = step(sstate, pts[i], ts[i], valid[i])
-        sharded_poses.append(np.asarray(pose))
+        sstate, res = step(sstate, pts[i], ts[i], valid[i])
+        sharded_poses.append(np.asarray(res.pose))
 
     state = odometry.init_state(cfg)
     single_poses = []
@@ -117,12 +117,13 @@ def test_chunked_map_sharded_matches_streaming():
 
     chunk = sharded_map.make_map_sharded_chunked_step(cfg, mesh)
     cstate = sharded_map.init_sharded_state(cfg, mesh)
-    cstate, poses = chunk(cstate, pts, ts, valid)
+    cstate, results = chunk(cstate, pts, ts, valid)
+    poses = results.pose
 
     step = sharded_map.make_map_sharded_step(cfg, mesh)
     sstate = sharded_map.init_sharded_state(cfg, mesh)
     stream = []
     for i in range(k):
-        sstate, pose = step(sstate, pts[i], ts[i], valid[i])
-        stream.append(np.asarray(pose))
+        sstate, res = step(sstate, pts[i], ts[i], valid[i])
+        stream.append(np.asarray(res.pose))
     np.testing.assert_allclose(np.asarray(poses), np.stack(stream), atol=1e-5)
