@@ -24,16 +24,41 @@ def se3_log(pose):
     return np.concatenate([xi[:3, 3], w])
 
 
+def _se3_exp_batch(twists):
+    """exp of (N, 6) twists -> (N, 4, 4), closed-form Rodrigues in float64.
+
+    Matches scipy expm to ~1e-13; vectorized so the long-horizon oracle run
+    (hundreds of frames x thousands of points) is feasible.
+    """
+    twists = np.asarray(twists, np.float64)
+    v, w = twists[:, :3], twists[:, 3:]
+    theta = np.linalg.norm(w, axis=1)
+    k = np.zeros((len(twists), 3, 3))
+    k[:, 0, 1], k[:, 0, 2] = -w[:, 2], w[:, 1]
+    k[:, 1, 0], k[:, 1, 2] = w[:, 2], -w[:, 0]
+    k[:, 2, 0], k[:, 2, 1] = -w[:, 1], w[:, 0]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        a = np.where(theta > 1e-10, np.sin(theta) / theta, 1.0 - theta**2 / 6)
+        b = np.where(theta > 1e-10, (1 - np.cos(theta)) / theta**2, 0.5)
+        c = np.where(theta > 1e-10, (theta - np.sin(theta)) / theta**3, 1.0 / 6)
+    k2 = k @ k
+    eye = np.broadcast_to(np.eye(3), (len(twists), 3, 3))
+    rot = eye + a[:, None, None] * k + b[:, None, None] * k2
+    vmat = eye + b[:, None, None] * k + c[:, None, None] * k2
+    out = np.tile(np.eye(4), (len(twists), 1, 1))
+    out[:, :3, :3] = rot
+    out[:, :3, 3] = np.einsum("nij,nj->ni", vmat, v)
+    return out
+
+
 def deskew(points, timestamps, relative_motion):
     """Reference Preprocessing.cpp:58-84: normalize stamps, exp((t-1)*omega)*p."""
     t = np.asarray(timestamps, np.float64)
     t = (t - t.min()) / (t.max() - t.min())
     omega = se3_log(np.asarray(relative_motion, np.float64))
-    out = np.empty_like(points, dtype=np.float64)
-    for i, (p, s) in enumerate(zip(points, t)):
-        pose = se3_exp((s - 1.0) * omega)
-        out[i] = pose[:3, :3] @ p + pose[:3, 3]
-    return out
+    poses = _se3_exp_batch((t - 1.0)[:, None] * omega[None, :])
+    return np.einsum("nij,nj->ni", poses[:, :3, :3],
+                     np.asarray(points, np.float64)) + poses[:, :3, 3]
 
 
 def range_crop(points, min_range, max_range):
