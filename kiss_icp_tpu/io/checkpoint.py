@@ -38,6 +38,11 @@ def _metadata(config) -> dict:
         "map_capacity_log2": int(e.map_capacity_log2),
         "map_storage": str(e.map_storage),
         "probe_length": int(e.probe_length),
+        # Slot layout + state pytree differ between the single-device and
+        # map-sharded engines (voxels hash to shards, then to home buckets
+        # within a shard) — a checkpoint is only loadable by the engine
+        # geometry that wrote it.
+        "map_shards": int(getattr(e, "map_shards", 1)),
     }
 
 
@@ -70,16 +75,18 @@ def save_checkpoint(path, state, config) -> None:
     os.replace(tmp, path)
 
 
-def load_checkpoint(path, config):
+def load_checkpoint(path, config, template=None):
     """Load an odometry state saved by :func:`save_checkpoint` /
     :func:`save_state`, validated against ``config``.
 
     Returns a host-side pytree with the exact structure of
-    ``odometry.init_state(config)``; pass it straight into the jitted step
+    ``odometry.init_state(config)`` — or of ``template`` when given (the
+    map-sharded engine passes its ShardedMapState so shapes/dtypes validate
+    against the sharded layout). Pass it straight into the jitted step
     (JAX moves it to the device on first use).
 
     Raises ``ValueError`` when the checkpoint was produced under different
-    engine capacities / map storage than ``config`` describes.
+    engine capacities / map storage / shard count than ``config`` describes.
     """
     from kiss_icp_tpu.odometry import init_state
 
@@ -91,7 +98,8 @@ def load_checkpoint(path, config):
         n = sum(1 for k in data.files if k.startswith("leaf_"))
         leaves = [data[f"leaf_{i}"] for i in range(n)]
 
-    template = init_state(config)
+    if template is None:
+        template = init_state(config)
     t_leaves, treedef = jax.tree_util.tree_flatten(template)
     if saved_meta is not None:
         want = _metadata(config)

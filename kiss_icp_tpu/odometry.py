@@ -244,6 +244,19 @@ def make_chunked_step(config: KISSConfig):
     return jax.jit(chunk, donate_argnums=donate)
 
 
+def create_odometry(config: KISSConfig) -> "KissICP":
+    """Engine factory: the single-device KissICP, or — when the config asks
+    for `engine.map_shards > 1` — the map-sharded ShardedKissICP (same host
+    API, voxel map split over a device mesh). The pipeline/CLI go through
+    here, so map sharding is a config knob rather than a separate code path.
+    """
+    if int(getattr(config.engine, "map_shards", 1)) > 1:
+        from kiss_icp_tpu.parallel.sharded_engine import ShardedKissICP
+
+        return ShardedKissICP(config)
+    return KissICP(config)
+
+
 class KissICP:
     """Stateful convenience wrapper: numpy scans in, numpy poses out.
 
@@ -253,14 +266,20 @@ class KissICP:
 
     def __init__(self, config: KISSConfig):
         self.config = config
-        self._step = make_step(config)
-        self.state = init_state(config)
         self._capacity = int(config.engine.max_points_per_frame)
         # Points discarded by _pad's stride subsample (input scan larger than
         # engine.max_points_per_frame) — the FIRST capacity gate, surfaced
         # like the downsample/map overflow counters (VERDICT r2 weak #5).
         self.last_input_dropped = 0
         self.total_input_dropped = 0
+        self._build()
+
+    def _build(self) -> None:
+        """Construct the jitted step + fresh state. The map-sharded engine
+        (parallel/sharded_engine.ShardedKissICP) overrides this hook; the
+        host-side API above stays shared."""
+        self._step = make_step(self.config)
+        self.state = init_state(self.config)
 
     def _pad(
         self, frame: np.ndarray, timestamps: Optional[np.ndarray]
@@ -331,10 +350,18 @@ class KissICP:
         if not hasattr(self, "_chunk_steps"):
             self._chunk_steps = {}
         if k not in self._chunk_steps:
-            self._chunk_steps[k] = make_chunked_step(self.config)
+            self._chunk_steps[k] = self._make_chunk_step()
         self.state, summary = self._chunk_steps[k](self.state, pts, ts, valid)
         self.last_chunk_summary = summary
-        return np.asarray(summary.poses)
+        return np.asarray(self._summary_poses(summary))
+
+    def _make_chunk_step(self):
+        return make_chunked_step(self.config)
+
+    def _summary_poses(self, summary):
+        """The stacked (K, 4, 4) pose leaf of a chunk summary (named `poses`
+        in ChunkSummary, `pose` in the sharded engine's ShardFrameResult)."""
+        return summary.poses
 
     def last_overflow(self) -> Tuple[int, int, int]:
         """(downsample drops, map-voxel drops, input-point drops) of the last

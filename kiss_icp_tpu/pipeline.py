@@ -24,7 +24,7 @@ import numpy as np
 
 from kiss_icp_tpu import metrics as metrics_mod
 from kiss_icp_tpu.config.parser import load_config, write_config
-from kiss_icp_tpu.odometry import KissICP
+from kiss_icp_tpu.odometry import create_odometry
 from kiss_icp_tpu.tools.pipeline_results import PipelineResults
 from kiss_icp_tpu.tools.progress_bar import get_progress_bar
 
@@ -51,7 +51,7 @@ class OdometryPipeline:
             if not isinstance(config, (str, Path, type(None)))
             else load_config(config, max_range=max_range, deskew=deskew)
         )
-        self.odometry = KissICP(self.config)
+        self.odometry = create_odometry(self.config)
 
         # Frame windowing (reference pipeline.py:50-56).
         self._n_scans = len(dataset) - jump if n_scans == -1 else min(len(dataset) - jump, n_scans)

