@@ -102,16 +102,37 @@ def make_batched_step(config: KISSConfig, mesh: Mesh):
     )
 
 
-def make_batched_chunked_step(config: KISSConfig, mesh: Optional[Mesh] = None):
-    """Compile a (B sequences) x (K frames) advance in ONE device execution:
-    `lax.scan` over the frame axis of a `vmap`-ed register_frame. This is the
-    pod-throughput program (BASELINE "all sequences in parallel"): per-
-    execution host overhead is paid once per B*K sequence-frames, and the
-    batch axis shards over the mesh's "seq" axis when one is given.
+def make_batched_chunked_step(config: KISSConfig, mesh: Optional[Mesh] = None,
+                              seq_mode: str = "vmap"):
+    """Compile a (B sequences) x (K frames) advance in ONE device execution.
+    This is the pod-throughput program (BASELINE "all sequences in
+    parallel"): per-execution host overhead is paid once per B*K
+    sequence-frames, and the batch axis shards over the mesh's "seq" axis
+    when one is given.
 
     Returns `step(state, points (K,B,N,3), timestamps (K,B,N), valid (K,B,N))
     -> (state, poses (K,B,4,4))`.
+
+    `seq_mode` picks how the sequence axis is laid onto ONE device:
+      * "vmap"  — all B sequences advance in lockstep; the ICP while_loop
+        runs every sequence to the slowest member's trip count (per-frame
+        cost = max over sequences). Best when a single sequence underfills
+        the chip and iteration counts are uniform.
+      * "map"   — `lax.map` over sequences: each runs its own scan over the
+        frame axis with its OWN trip count, so per-chunk device work is the
+        SUM of per-sequence iterations rather than K x max. This is the
+        break-even-by-construction formulation (round-2 measured the vmap
+        coupling costing ~12-25% at B=4); the pod program
+        (parallel/pod.py) uses the same layout per mesh row.
+    "map" is single-device only — on a mesh the batch axis must stay vmapped
+    for the partitioner (use parallel/pod.py for mesh-level decoupling).
     """
+    if seq_mode not in ("vmap", "map"):
+        raise ValueError(f"unknown seq_mode {seq_mode!r}")
+    if seq_mode == "map" and mesh is not None:
+        raise ValueError(
+            "seq_mode='map' is the single-device program; on a mesh use "
+            "parallel/pod.py (per-row decoupling with uniform collectives)")
     vstep = jax.vmap(functools.partial(odometry.register_frame, config))
 
     def chunk(state, points, timestamps, valid):
@@ -121,6 +142,31 @@ def make_batched_chunked_step(config: KISSConfig, mesh: Optional[Mesh] = None):
             return s2, res.pose
 
         return jax.lax.scan(body, state, (points, timestamps, valid))
+
+    if seq_mode == "map":
+        def chunk_map(state, points, timestamps, valid):
+            # (K, B, ...) -> (B, K, ...): one transpose per chunk so each
+            # sequence's frames are contiguous for its private scan.
+            pb = jnp.swapaxes(points, 0, 1)
+            tb = jnp.swapaxes(timestamps, 0, 1)
+            vb = jnp.swapaxes(valid, 0, 1)
+
+            def one_seq(args):
+                st, p, t, v = args
+
+                def body(s, inp):
+                    s2, res = odometry.register_frame(config, s, *inp)
+                    return s2, res.pose
+
+                return jax.lax.scan(body, st, (p, t, v))
+
+            state, poses = jax.lax.map(one_seq, (state, pb, tb, vb))
+            return state, jnp.swapaxes(poses, 0, 1)
+
+        return jax.jit(
+            chunk_map,
+            donate_argnums=(0,) if config.engine.donate_state else (),
+        )
 
     if mesh is not None:
         state_sh = NamedSharding(mesh, P(SEQ_AXIS))

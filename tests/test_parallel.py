@@ -126,3 +126,38 @@ def test_batched_chunked_step():
     np.testing.assert_allclose(
         np.asarray(poses)[-1], np.asarray(res.pose), atol=1e-5
     )
+
+
+def test_batched_chunked_seq_mode_map_matches_vmap():
+    """seq_mode='map' (per-sequence private ICP trip counts, lax.map) is the
+    same trajectory as the lockstep vmap formulation — the two differ only in
+    how the sequence axis maps onto the device (see batch.py docstring)."""
+    cfg = _tiny_config()
+    b, n, k = 4, cfg.engine.max_points_per_frame, 3
+
+    rng = np.random.default_rng(11)
+    base = rng.uniform(-30, 30, (b, n, 3)).astype(np.float32)
+    # Distinct per-sequence velocities so iteration counts diverge.
+    pts = np.stack(
+        [base + np.arange(1, b + 1)[:, None, None].astype(np.float32)
+         * np.array([0.15 * i, 0.02 * i, 0], np.float32) for i in range(k)]
+    )
+    ts = np.zeros((k, b, n), np.float32)
+    valid = np.ones((k, b, n), bool)
+
+    vchunk = pbatch.make_batched_chunked_step(cfg, seq_mode="vmap")
+    vstate = pbatch.init_batched_state(cfg, b)
+    vstate, vposes = vchunk(vstate, pts, ts, valid)
+
+    mchunk = pbatch.make_batched_chunked_step(cfg, seq_mode="map")
+    mstate = pbatch.init_batched_state(cfg, b)
+    mstate, mposes = mchunk(mstate, pts, ts, valid)
+
+    assert np.asarray(mposes).shape == (k, b, 4, 4)
+    np.testing.assert_allclose(np.asarray(mposes), np.asarray(vposes),
+                               atol=1e-5)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="single-device"):
+        pbatch.make_batched_chunked_step(cfg, pbatch.make_mesh(8),
+                                         seq_mode="map")
