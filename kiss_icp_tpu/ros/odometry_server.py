@@ -14,9 +14,18 @@ with margin). ALL decision logic lives rclpy-free in `ros/core.py`
 (parameter mapping, base-frame conjugation, TF payload construction) so it is
 unit-tested without a ROS installation; this module only adapts messages.
 
+Composition: the reference node is an rclcpp *component* loadable into a
+shared-process container (OdometryServer.cpp:74, RCLCPP_COMPONENTS_REGISTER_
+NODE). rclcpp containers cannot host Python nodes, so the rclpy analog is
+process-level composition on one executor: `get_node_class()` exposes the
+node as a composable class and `kiss_icp_tpu.ros.container` spins it together
+with any other rclpy nodes in a single process (one DDS participant, intra-
+process delivery where rclpy supports it). See container.py.
+
 Run inside a ROS 2 environment:
     ros2 launch kiss_icp_tpu odometry.launch.py topic:=/points
 or directly:  python -m kiss_icp_tpu.ros.odometry_server
+or composed:  python -m kiss_icp_tpu.ros.container [extra node factories]
 """
 
 from __future__ import annotations
@@ -25,8 +34,17 @@ import numpy as np
 
 from kiss_icp_tpu.ros import core
 
+_NODE_CLASS = None
 
-def main(args=None):  # pragma: no cover - requires a ROS 2 environment
+
+def get_node_class():  # pragma: no cover - requires a ROS 2 environment
+    """Build (once) and return the OdometryServer rclpy Node class.
+
+    A factory rather than a module-level class so importing this module
+    never requires rclpy (the rest of the package is ROS-free)."""
+    global _NODE_CLASS
+    if _NODE_CLASS is not None:
+        return _NODE_CLASS
     try:
         import rclpy
         from rclpy.node import Node
@@ -44,7 +62,7 @@ def main(args=None):  # pragma: no cover - requires a ROS 2 environment
             "ROS 2 (rclpy + common msgs + tf2_ros) is required for the node"
         ) from e
 
-    from kiss_icp_tpu.odometry import KissICP
+    from kiss_icp_tpu.odometry import create_odometry
     from kiss_icp_tpu.ros.utils import pose_to_quat_trans
     from kiss_icp_tpu.tools.point_cloud2 import read_point_cloud
 
@@ -76,7 +94,7 @@ def main(args=None):  # pragma: no cover - requires a ROS 2 environment
                 )
 
             cfg, self.publisher_core = core.publisher_from_params(params, tf_lookup)
-            self.odometry = KissICP(cfg)
+            self.odometry = create_odometry(cfg)
             if str(params["load_checkpoint"]):
                 self.odometry.load_checkpoint(str(params["load_checkpoint"]))
                 self.get_logger().info(
@@ -174,8 +192,16 @@ def main(args=None):  # pragma: no cover - requires a ROS 2 environment
             msg.is_dense = True
             return msg
 
+    _NODE_CLASS = OdometryServer
+    return OdometryServer
+
+
+def main(args=None):  # pragma: no cover - requires a ROS 2 environment
+    import rclpy
+
+    node_class = get_node_class()
     rclpy.init(args=args)
-    node = OdometryServer()
+    node = node_class()
     try:
         rclpy.spin(node)
     finally:

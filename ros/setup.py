@@ -30,6 +30,7 @@ setup(
     entry_points={
         "console_scripts": [
             "kiss_icp_tpu_node = kiss_icp_tpu.ros.odometry_server:main",
+            "kiss_icp_tpu_container = kiss_icp_tpu.ros.container:main",
         ],
     },
 )
