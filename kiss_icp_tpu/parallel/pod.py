@@ -111,7 +111,13 @@ def init_pod_state(config: KISSConfig, mesh: Mesh, batch: int) -> PodState:
     b = batch
 
     def put(x, spec):
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        # make_array_from_callback instead of device_put: every process
+        # materializes only its addressable shards, so the same init code
+        # serves single-process meshes AND multi-host launches where the
+        # "seq" axis spans processes (each host holds 1/S of the state).
+        sh = NamedSharding(mesh, spec)
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
 
     eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
     thr = threshold.init_state(config.adaptive_threshold.initial_threshold)

@@ -41,6 +41,10 @@ DEFAULT_PARAMETERS = {
     "convergence_criterion": 1e-4,
     "position_covariance": 0.1,
     "orientation_covariance": 0.1,
+    # Engine scale-out: shard the voxel map over this many devices (>1 picks
+    # the map-sharded engine, parallel/sharded_engine.py). No reference
+    # analog — the rclcpp node's map is one robin_map on one host.
+    "map_shards": 1,
     # Node-level (not part of KISSConfig): warm-start from / persist to an
     # odometry checkpoint (io/checkpoint.py). Empty = disabled. No reference
     # analog — the rclcpp node always starts from an empty map.
@@ -68,6 +72,7 @@ def config_from_params(params: dict) -> KISSConfig:
         cfg.adaptive_threshold.fixed_threshold = float(g("fixed_threshold"))
     cfg.registration.max_num_iterations = int(g("max_num_iterations"))
     cfg.registration.convergence_criterion = float(g("convergence_criterion"))
+    cfg.engine.map_shards = int(g("map_shards"))
     return cfg
 
 

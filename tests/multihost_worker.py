@@ -13,11 +13,17 @@ only its local slice; process 0 writes the resulting global poses to argv[1].
 import os
 import sys
 
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+_AS_WORKER = os.environ.get("KISS_NUM_PROCESSES", "1") != "1"
+if _AS_WORKER:
+    # Only when launched as a distributed worker: the test process imports
+    # this module for its constants/golden, and rewriting XLA_FLAGS there
+    # before the backend initializes would shrink ITS device count.
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if _AS_WORKER:
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
