@@ -327,6 +327,21 @@ def child_batched() -> dict:
     bpts = np.broadcast_to(pts[:, None], (N_FRAMES, b) + pts.shape[1:]).copy()
     bts = np.broadcast_to(ts[:, None], (N_FRAMES, b) + ts.shape[1:]).copy()
     bvalid = np.broadcast_to(valid[:, None], (N_FRAMES, b) + valid.shape[1:]).copy()
+    # Heterogeneous sequences: each sequence drives a DIFFERENT window of the
+    # 240-frame soak drive (reusing its cache) so per-frame ICP iteration
+    # counts skew across the batch — identical broadcast sequences make the
+    # vmap lockstep coupling invisible and the vmap-vs-map A/B vacuous.
+    try:
+        _, p240, t240, v240 = _scans(cfg, 240)
+        for i in range(1, b):
+            o = 60 * i
+            bpts[:, i] = p240[o:o + N_FRAMES]
+            bts[:, i] = t240[o:o + N_FRAMES]
+            bvalid[:, i] = v240[o:o + N_FRAMES]
+        log("batched: per-sequence windows at offsets 0/60/120/180 of the "
+            "soak drive")
+    except Exception as e:  # soak cache shape mismatch etc: keep broadcast
+        log(f"batched: falling back to identical sequences ({e})")
 
     result = {"mode": "batched", "batch": b}
     best_any = 0.0
@@ -358,11 +373,19 @@ def child_batched() -> dict:
 
 
 def child_soak() -> dict:
-    """Long-run: steady-state throughput with the map at full occupancy."""
+    """Long-run: steady-state throughput with the map at full occupancy.
+
+    KISS_BENCH_SOAK_NN / KISS_BENCH_SOAK_STORAGE override the association
+    strategy / map storage for one-off steady-state A/Bs (the `ab` child
+    measures a YOUNG map; which strategy wins can flip at full occupancy,
+    where live candidate rows per gather are several times denser)."""
     import jax
     from kiss_icp_tpu.odometry import init_state, make_chunked_step
 
-    cfg = _config()
+    cfg = _config(
+        nn_mode=os.environ.get("KISS_BENCH_SOAK_NN", "gather27"),
+        map_storage=os.environ.get("KISS_BENCH_SOAK_STORAGE", "f32"),
+    )
     n_total, k = 240, 24
     _, pts, ts, valid = _scans(cfg, n_total)
     chunk = make_chunked_step(cfg)
@@ -400,7 +423,9 @@ def child_soak() -> dict:
     steady = float(np.mean(chunk_fps[len(chunk_fps) // 2:]))
     log(f"soak fps per {k}-frame chunk: {curve}")
     partial = {"mode": "soak", "steady_fps": round(steady, 2),
-               "first_chunk_fps": round(chunk_fps[0], 2)}
+               "first_chunk_fps": round(chunk_fps[0], 2),
+               "nn": str(cfg.engine.nn_mode),
+               "storage": str(cfg.engine.map_storage)}
     _publish_partial(partial)
     # Diagnostics (d2h reads) after ALL timing.
     fill = int(np.asarray(state.map.total_points))

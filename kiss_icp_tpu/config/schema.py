@@ -86,6 +86,10 @@ class EngineConfig:
     #                    (ops/pallas_nn.py; distances agree to ulp level).
     # The first four are bit-identical in results; they differ only in how
     # XLA schedules memory traffic. Default picked by TPU A/B in bench.py.
+    # The compact* modes are only competitive while the map is sparsely
+    # occupied: at FULL occupancy the per-frame compaction dominates
+    # (measured 228-914 fps vs gather27's ~1100-1240 on the 240-frame soak,
+    # BASELINE.md round 3) — keep the default for long drives.
     nn_mode: str = "gather27"
     # Live-voxel capacity (log2) of the compacted query view ("compact*"
     # modes). Must exceed the number of occupied map voxels; overflow is

@@ -331,11 +331,18 @@ class KissICP:
         res = self.last_result
         return np.asarray(res.source_points)[np.asarray(res.source_valid)]
 
-    def register_frames_chunked(self, frames, timestamps_list=None) -> np.ndarray:
-        """Advance K frames in ONE device execution (lax.scan) and return
-        their (K, 4, 4) poses. The odometry state never leaves the device
-        within the chunk, so per-execution host overhead is paid once per
-        chunk instead of once per frame."""
+    def build_chunk(self, frames, timestamps_list=None):
+        """Pack K numpy scans into the padded (K, cap, ...) chunk buffers.
+
+        Pure host work, split from `dispatch_chunk` so a driver can overlap
+        packing the NEXT chunk with the device executing the current one
+        (JAX dispatch is asynchronous): host pack of a 14x50k-point chunk
+        costs ~10 ms — comparable to the device execution itself — so the
+        overlap roughly doubles end-to-end chunked throughput.
+
+        Returns `(arrays, input_dropped)`; the drop count is the stride-
+        subsample loss of scans above max_points_per_frame for THIS chunk.
+        """
         k = len(frames)
         cap = self._capacity
         pts = np.zeros((k, cap, 3), np.float32)
@@ -346,14 +353,36 @@ class KissICP:
             t = None if timestamps_list is None else timestamps_list[i]
             p, tt, v = self._pad(np.asarray(f), t)
             pts[i], ts[i], valid[i] = p, tt, v
-        self.last_chunk_input_dropped = self.total_input_dropped - drops_before
+        return (pts, ts, valid), self.total_input_dropped - drops_before
+
+    def dispatch_chunk(self, arrays, input_dropped: int = 0):
+        """Launch one K-frame chunk (asynchronous) and return the on-device
+        chunk summary WITHOUT materializing anything on the host. Callers
+        that want overlap keep the summary lazy until after dispatching the
+        next chunk; `summary_poses(summary)` materializes."""
+        pts, ts, valid = arrays
+        k = pts.shape[0]
+        self.last_chunk_input_dropped = input_dropped
         if not hasattr(self, "_chunk_steps"):
             self._chunk_steps = {}
         if k not in self._chunk_steps:
             self._chunk_steps[k] = self._make_chunk_step()
         self.state, summary = self._chunk_steps[k](self.state, pts, ts, valid)
         self.last_chunk_summary = summary
+        return summary
+
+    def summary_poses(self, summary) -> np.ndarray:
+        """Materialize a chunk summary's (K, 4, 4) poses on the host."""
         return np.asarray(self._summary_poses(summary))
+
+    def register_frames_chunked(self, frames, timestamps_list=None) -> np.ndarray:
+        """Advance K frames in ONE device execution (lax.scan) and return
+        their (K, 4, 4) poses. The odometry state never leaves the device
+        within the chunk, so per-execution host overhead is paid once per
+        chunk instead of once per frame."""
+        arrays, dropped = self.build_chunk(frames, timestamps_list)
+        summary = self.dispatch_chunk(arrays, dropped)
+        return self.summary_poses(summary)
 
     def _make_chunk_step(self):
         return make_chunked_step(self.config)
