@@ -13,8 +13,11 @@ compiles once per run; deadlines are disabled accordingly.
 
 import numpy as np
 import jax.numpy as jnp
-from hypothesis import given, settings, strategies as st
-from hypothesis.extra.numpy import arrays
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import given, settings, strategies as st  # noqa: E402
+from hypothesis.extra.numpy import arrays  # noqa: E402
 
 from kiss_icp_tpu.ops import hash_map as hm
 from kiss_icp_tpu.ops import se3, threshold, voxel
