@@ -249,6 +249,7 @@ AB_VARIANTS = {
     "loop27": ("auto", "u16", 8, "loop27"),
     "compact": ("auto", "u16", 8, "compact"),
     "compact_loop": ("auto", "u16", 8, "compact_loop"),
+    "cached": ("auto", "f32", 16, "cached"),
     "fused": ("auto", "u16", 8, "pallas_fused"),
     "fused_f32": ("auto", "f32", 8, "pallas_fused"),
 }

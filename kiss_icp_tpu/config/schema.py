@@ -90,7 +90,20 @@ class EngineConfig:
     # occupied: at FULL occupancy the per-frame compaction dominates
     # (measured 228-914 fps vs gather27's ~1100-1240 on the 240-frame soak,
     # BASELINE.md round 3) — keep the default for long drives.
+    #   "cached"       — gather each source point's `assoc_cache_size`
+    #                    nearest candidates ONCE, iterate GN re-selecting
+    #                    within the cache, re-gather only when any point
+    #                    moved more than `assoc_refresh_dist` since the last
+    #                    gather. NOT bit-identical to the others (association
+    #                    may differ for points whose true NN left the cached
+    #                    top-C); trajectory parity vs the exact modes is
+    #                    pinned by tests/test_cached_assoc.py.
     nn_mode: str = "gather27"
+    # Candidates cached per source point by nn_mode="cached".
+    assoc_cache_size: int = 8
+    # Re-gather threshold (meters of per-point motion since the last gather)
+    # for nn_mode="cached"; <= 0 derives 0.25 * voxel_size.
+    assoc_refresh_dist: float = -1.0
     # Live-voxel capacity (log2) of the compacted query view ("compact*"
     # modes). Must exceed the number of occupied map voxels; overflow is
     # surfaced through FrameResult.num_dropped_map_voxels.

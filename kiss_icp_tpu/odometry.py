@@ -147,6 +147,12 @@ def register_frame(
         nn_mode=str(config.engine.nn_mode),
         nn_live_capacity_log2=int(config.engine.nn_live_capacity_log2),
         nn_probe_length=int(config.engine.nn_probe_length),
+        assoc_cache_size=int(config.engine.assoc_cache_size),
+        assoc_refresh_dist=(
+            float(config.engine.assoc_refresh_dist)
+            if float(config.engine.assoc_refresh_dist) > 0
+            else 0.25 * vsize
+        ),
     )
     # Degraded-mode guard (no reference analog — its f64 merely postpones the
     # blow-up): if registration ever yields a non-finite pose, fall back to

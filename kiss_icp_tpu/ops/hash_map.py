@@ -219,25 +219,18 @@ class QueryResult(NamedTuple):
     found: jnp.ndarray  # (N,) bool
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def query_nearest(cfg: MapConfig, m: VoxelMap, queries: jnp.ndarray,
-                  valid: jnp.ndarray) -> QueryResult:
-    """Closest map point among the 27 voxels around each query point.
-
-    Exact equivalent of VoxelHashMap::GetClosestNeighbor (VoxelHashMap.cpp:46-70)
-    vectorized over all queries.
-    """
-    n = queries.shape[0]
+def _candidate_slab(cfg: MapConfig, m: VoxelMap, queries: jnp.ndarray):
+    """Gather each query's 27-voxel candidate points: (pts (N,27,P,3),
+    d2 (N,27,P) with +inf on unusable rows). The shared front half of
+    `query_nearest` and `query_topc`."""
     k = cfg.probe_length
     p = cfg.max_points_per_voxel
-    cap = cfg.capacity
 
     qvox = voxel_ops.point_to_voxel(queries, cfg.voxel_size)  # (N, 3)
     shifts = jnp.asarray(_NEIGHBOR_SHIFTS)
     neigh = qvox[:, None, :] + shifts[None, :, :]  # (N, 27, 3)
     target_fp = fingerprint(neigh)  # (N, 27)
     rows = window_row(neigh, cfg.capacity_log2, k)  # (N, 27)
-    slots = _window(rows << (k.bit_length() - 1), k, cap)  # (N, 27, K)
 
     window_fp = _window_fp(m.fprints, rows, k)  # (N, 27, K) row gather
     match = window_fp == target_fp[..., None]
@@ -270,6 +263,20 @@ def query_nearest(cfg: MapConfig, m: VoxelMap, queries: jnp.ndarray,
     in_range = jnp.arange(p, dtype=jnp.int32)[None, None, :] < cnt[..., None]
     usable = in_range & has_voxel[..., None]
     d2 = jnp.where(usable, d2, jnp.inf)
+    return pts, d2
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def query_nearest(cfg: MapConfig, m: VoxelMap, queries: jnp.ndarray,
+                  valid: jnp.ndarray) -> QueryResult:
+    """Closest map point among the 27 voxels around each query point.
+
+    Exact equivalent of VoxelHashMap::GetClosestNeighbor (VoxelHashMap.cpp:46-70)
+    vectorized over all queries.
+    """
+    n = queries.shape[0]
+    p = cfg.max_points_per_voxel
+    pts, d2 = _candidate_slab(cfg, m, queries)
 
     d2_flat = d2.reshape(n, 27 * p)
     best = jnp.argmin(d2_flat, axis=-1)
@@ -280,6 +287,33 @@ def query_nearest(cfg: MapConfig, m: VoxelMap, queries: jnp.ndarray,
 
     found = jnp.isfinite(best_d2) & valid
     return QueryResult(nn, jnp.sqrt(best_d2), found)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "c"))
+def query_topc(cfg: MapConfig, m: VoxelMap, queries: jnp.ndarray,
+               c: int):
+    """The `c` nearest candidate map points per query from its 27-voxel
+    neighborhood: (cand_pts (N, c, 3), cand_valid (N, c)), nearest first.
+
+    The expensive half of data association (fingerprint probe + point-row
+    gather) amortized for the cached-association ICP mode
+    (registration.py): between Gauss-Newton iterations the source moves by
+    millimeters, so the true nearest neighbor stays inside this tiny
+    candidate set until the accumulated motion approaches the spacing
+    between the c-th and 1st candidates — the caller re-gathers long before
+    that (exact per-point motion bound). No reference analog: the C++ hash
+    probe is cheap per query, re-associating every iteration is free there
+    (Registration.cpp:151-164); on TPU the re-gather is ~all of the
+    iteration's HBM traffic.
+    """
+    n = queries.shape[0]
+    p = cfg.max_points_per_voxel
+    pts, d2 = _candidate_slab(cfg, m, queries)
+    neg_d2, idx = jax.lax.top_k(-d2.reshape(n, 27 * p), c)  # (N, c)
+    cand = jnp.take_along_axis(
+        pts.reshape(n, 27 * p, 3), idx[..., None], axis=1
+    )  # (N, c, 3)
+    return cand, jnp.isfinite(neg_d2)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -199,10 +199,103 @@ def gauss_newton_loop(
     return t_icp, iters
 
 
+def gauss_newton_loop_cached(
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    initial_guess: jnp.ndarray,
+    max_distance: jnp.ndarray,
+    kernel_scale: jnp.ndarray,
+    *,
+    gather_fn,
+    cache_size: int,
+    refresh_dist: float,
+    max_iterations: int,
+    convergence: float,
+    linsys_fn=build_linear_system,
+):
+    """ICP while-loop with CACHED data association (nn_mode="cached").
+
+    The expensive half of an iteration is the 27-voxel candidate gather
+    (~all of its HBM traffic); between iterations the source moves by
+    millimeters, so the gather's result barely changes. This loop gathers
+    each source point's `cache_size` nearest candidates once
+    (`gather_fn(src) -> (cand (N,C,3), cand_valid (N,C))`), then iterates
+    Gauss-Newton re-selecting the nearest WITHIN the cache — re-gathering
+    only when the exact per-point motion since the last gather exceeds
+    `refresh_dist` (so a bad initial guess degrades to the uncached cost,
+    never to a wrong answer class). Association can differ from the
+    reference's re-probe-every-iteration (Registration.cpp:151-164) only
+    for points whose true NN left the cached top-C — bounded by the robust
+    GM weighting and validated against the f64 oracle
+    (tests/test_cached_assoc.py).
+
+    Returns (t_icp, iterations, num_regathers).
+    """
+    guess = initial_guess.astype(jnp.float32)
+    src0 = se3.transform(guess, points)
+    center = guess[:3, 3]
+    n = points.shape[0]
+
+    def gather(src):
+        return gather_fn(src)
+
+    cand0, cval0 = gather(src0)
+
+    def cond(carry):
+        return (carry[2] < max_iterations) & ~carry[3]
+
+    def body(carry):
+        src, t_icp, it, done, cand, cval, moved, ref_src, n_regather = carry
+
+        # Refresh when any point moved more than refresh_dist since the last
+        # gather (exact bound: max |src - src_at_gather|).
+        need = moved > refresh_dist
+
+        def do_regather(_):
+            c, v = gather(src)
+            return c, v, src, n_regather + 1
+
+        def keep(_):
+            return cand, cval, ref_src, n_regather
+
+        cand, cval, ref_src, n_regather = jax.lax.cond(
+            need, do_regather, keep, None)
+
+        d2 = jnp.sum((src[:, None, :] - cand) ** 2, axis=-1)  # (N, C)
+        d2 = jnp.where(cval, d2, jnp.inf)
+        best = jnp.argmin(d2, axis=-1)
+        best_d2 = jnp.take_along_axis(d2, best[:, None], axis=-1)[:, 0]
+        nn = jnp.take_along_axis(cand, best[:, None, None], axis=1)[:, 0]
+        dist = jnp.sqrt(best_d2)
+
+        corr = jnp.isfinite(dist) & valid & (dist < max_distance)
+        ls = linsys_fn(src, nn, corr, kernel_scale, center)
+        dx = solve_increment(ls)
+        est_local = se3.se3_exp(dx)
+        est = est_local.at[:3, 3].add(center - est_local[:3, :3] @ center)
+        src = se3.transform(est, src)
+        t_icp = est @ t_icp
+
+        v, w = dx[:3], dx[3:]
+        v_world = v - jnp.cross(w, center)
+        done = jnp.sqrt(jnp.sum(v_world * v_world) + jnp.sum(w * w)) < convergence
+        moved = jnp.max(
+            jnp.where(valid, jnp.linalg.norm(src - ref_src, axis=-1), 0.0))
+        return src, t_icp, it + 1, done, cand, cval, moved, ref_src, n_regather
+
+    _, t_icp, iters, _, _, _, _, _, n_regather = jax.lax.while_loop(
+        cond, body,
+        (src0, se3.identity(), jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+         cand0, cval0, jnp.zeros(()), src0, jnp.zeros((), jnp.int32)),
+    )
+    return t_icp, iters, n_regather
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_iterations", "convergence", "use_pallas",
-                     "nn_mode", "nn_live_capacity_log2", "nn_probe_length"),
+                     "nn_mode", "nn_live_capacity_log2", "nn_probe_length",
+                     "assoc_cache_size", "assoc_refresh_dist"),
 )
 def align_points_to_map(
     cfg: hash_map.MapConfig,
@@ -219,6 +312,8 @@ def align_points_to_map(
     nn_mode: str = "gather27",
     nn_live_capacity_log2: int = 15,
     nn_probe_length: int = 8,
+    assoc_cache_size: int = 8,
+    assoc_refresh_dist: float = 0.25,
 ) -> AlignResult:
     """Register one (body-frame) source scan against the local map.
 
@@ -274,21 +369,33 @@ def align_points_to_map(
     elif nn_mode == "loop27":
         def nn(src):
             return hash_map.query_nearest_loop(cfg, m, src, valid)
-    elif nn_mode == "gather27":
+    elif nn_mode in ("gather27", "cached"):
         def nn(src):
             return hash_map.query_nearest(cfg, m, src, valid)
     else:
         raise ValueError(f"unknown nn_mode: {nn_mode!r}")
 
-    def query_fn(src):
-        q = nn(src)
-        return q.distances, q.neighbors
+    if nn_mode == "cached":
+        def gather_fn(src):
+            return hash_map.query_topc(cfg, m, src, assoc_cache_size)
 
-    t_icp, iters = gauss_newton_loop(
-        points, valid, guess, max_distance, kernel_scale,
-        query_fn=query_fn, max_iterations=max_iterations,
-        convergence=convergence, linsys_fn=linsys,
-    )
+        t_icp, iters, _ = gauss_newton_loop_cached(
+            points, valid, guess, max_distance, kernel_scale,
+            gather_fn=gather_fn, cache_size=assoc_cache_size,
+            refresh_dist=float(assoc_refresh_dist),
+            max_iterations=max_iterations, convergence=convergence,
+            linsys_fn=linsys,
+        )
+    else:
+        def query_fn(src):
+            q = nn(src)
+            return q.distances, q.neighbors
+
+        t_icp, iters = gauss_newton_loop(
+            points, valid, guess, max_distance, kernel_scale,
+            query_fn=query_fn, max_iterations=max_iterations,
+            convergence=convergence, linsys_fn=linsys,
+        )
 
     # Final correspondence count for diagnostics (one extra association).
     q = nn(se3.transform(t_icp @ guess, points))
