@@ -103,10 +103,14 @@ def load_checkpoint(path, config, template=None):
     t_leaves, treedef = jax.tree_util.tree_flatten(template)
     if saved_meta is not None:
         want = _metadata(config)
+        # Keys added to the metadata record AFTER a checkpoint was written
+        # must not invalidate it: compare against the value the writer's
+        # engine implicitly had (its schema default), not None.
+        defaults = {"map_shards": 1}
         mismatches = {
-            k: (saved_meta.get(k), want[k])
+            k: (saved_meta.get(k, defaults.get(k)), want[k])
             for k in want
-            if saved_meta.get(k) != want[k]
+            if saved_meta.get(k, defaults.get(k)) != want[k]
         }
         if mismatches:
             raise ValueError(
@@ -120,8 +124,12 @@ def load_checkpoint(path, config, template=None):
             f"{len(t_leaves)} — produced by an incompatible version?"
         )
     for i, (got, want_leaf) in enumerate(zip(leaves, t_leaves)):
+        # The template may be abstract (jax.eval_shape leaves carry
+        # .shape/.dtype but cannot be materialized).
         want_shape = tuple(np.shape(want_leaf))
-        want_dtype = np.asarray(want_leaf).dtype
+        want_dtype = getattr(want_leaf, "dtype", None)
+        if want_dtype is None:
+            want_dtype = np.asarray(want_leaf).dtype
         if tuple(got.shape) != want_shape or got.dtype != want_dtype:
             raise ValueError(
                 f"checkpoint {path} leaf {i}: shape/dtype "

@@ -25,8 +25,15 @@ equations over "map"). Sequential-local is deliberate, not a fallback:
   * collectives stay in lockstep: all D members of a seq row scan the same
     local sequences in the same order, and within one sequence the while
     cond is replicated along "map" (psum'd dx), so the ring/psum inside the
-    loop match across the row. Rows share no collectives, so different rows
-    converge independently.
+    loop match across the row. Rows' collective GROUPS are disjoint, but XLA
+    matches collective instances by program point across the whole launch,
+    so the GN loop's trip count must still be uniform across rows: the cond
+    psums an any-active flag over "seq" and finished rows freeze their state
+    while continuing to fire collectives (sync_axis plumbing in
+    sharded_map.frame_step_shard / registration.gauss_newton_loop — removing
+    it deadlocks the ring rendezvous, measured on the CPU mesh). Within a
+    row, `lax.map` still pays per-sequence trip counts, coupled only to the
+    slowest ROW, not the slowest of all B sequences.
 
 Multi-host: build the mesh over `jax.devices()` after
 `multihost.initialize_from_env` and lay "seq" over DCN (sequences exchange
@@ -224,25 +231,41 @@ class PodOdometry:
         self.state = init_pod_state(config, mesh, batch)
         self._cap = int(config.engine.max_points_per_frame)
         self.last_results: Optional[ShardFrameResult] = None
+        self.last_input_dropped = 0
+        self.total_input_dropped = 0
 
     def register_chunks(self, frames, timestamps=None) -> np.ndarray:
-        """frames: list of B lists of K (N_i, 3) scans. Returns (B, K, 4, 4)."""
+        """frames: list of B lists of K (N_i, 3) scans. Returns (B, K, 4, 4).
+
+        Oversized scans are stride-subsampled (same semantics and drop
+        accounting as KissICP._pad — head-truncation would angularly bias an
+        azimuth-ordered scan); losses accumulate in `total_input_dropped`.
+        """
         b = len(frames)
         assert b == self.batch, (b, self.batch)
         k = len(frames[0])
-        pts = np.zeros((b, k, self._cap, 3), np.float32)
-        ts = np.zeros((b, k, self._cap), np.float32)
-        valid = np.zeros((b, k, self._cap), bool)
+        cap = self._cap
+        pts = np.zeros((b, k, cap, 3), np.float32)
+        ts = np.zeros((b, k, cap), np.float32)
+        valid = np.zeros((b, k, cap), bool)
+        self.last_input_dropped = 0
         for i in range(b):
             for j in range(k):
-                f = np.asarray(frames[i][j])[: self._cap]
+                f = np.asarray(frames[i][j])
+                t = None if timestamps is None else timestamps[i][j]
                 n = len(f)
+                self.last_input_dropped += max(0, n - cap)
+                if n > cap:
+                    sel = np.linspace(0, n - 1, cap).astype(np.int64)
+                    f = f[sel]
+                    if t is not None and len(t) == n:
+                        t = np.asarray(t)[sel]
+                    n = cap
                 pts[i, j, :n] = f[:, :3]
                 valid[i, j, :n] = True
-                if timestamps is not None and timestamps[i][j] is not None:
-                    t = np.asarray(timestamps[i][j])[:n]
-                    if len(t) == n:
-                        ts[i, j, :n] = t
+                if t is not None and len(t) == n:
+                    ts[i, j, :n] = t
+        self.total_input_dropped += self.last_input_dropped
         self.state, results = self._step(self.state, pts, ts, valid)
         self.last_results = results
         return np.asarray(results.pose)

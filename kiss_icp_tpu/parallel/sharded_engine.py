@@ -74,15 +74,26 @@ class ShardedKissICP(odometry.KissICP):
 
     def load_checkpoint(self, path) -> None:
         """Restore a state saved by `save_checkpoint`, re-placing every leaf
-        on this engine's mesh with its original sharding."""
+        on this engine's mesh with its original sharding.
+
+        The shape/sharding template is abstract (`jax.eval_shape`) — on an
+        engine whose point is maps too big to replicate, materializing a
+        second full sharded state just to read shapes would transiently
+        double per-device map memory during a warm start."""
+        from jax.sharding import NamedSharding
+
         from kiss_icp_tpu.io import checkpoint
 
-        template = sharded_map.init_sharded_state(self.config, self._mesh)
+        template = jax.eval_shape(
+            lambda: sharded_map.init_sharded_state(self.config, self._mesh))
+        shardings = jax.tree.map(
+            lambda spec: NamedSharding(self._mesh, spec),
+            sharded_map.state_specs())
         host = checkpoint.load_checkpoint(path, self.config,
                                           template=template)
         self.state = jax.tree.map(
-            lambda h, t: jax.device_put(np.asarray(h), t.sharding),
-            host, template,
+            lambda h, s: jax.device_put(np.asarray(h), s),
+            host, shardings,
         )
 
     def local_map_points(self) -> np.ndarray:

@@ -22,7 +22,33 @@ or from a launch file (see ros/launch/composition.launch.py).
 from __future__ import annotations
 
 import importlib
+import re
 import sys
+
+# STRICT spec shape: dotted python module path ':' python identifier. ROS
+# CLI tokens must never match — remaps/params look like 'name:=value'
+# ('__node:=x', 'topic:=/points'), which ':=' rules out, and '--ros-args'
+# starts with '-'.
+_SPEC_RE = re.compile(
+    r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*"
+    r":[A-Za-z_][A-Za-z0-9_]*$"
+)
+
+
+def split_specs(argv):
+    """(node factory specs, remaining ROS args). A single argv element may
+    carry several whitespace-separated specs (launch passes the
+    `extra_nodes` argument as ONE token)."""
+    specs, ros_args = [], []
+    for a in argv:
+        if not a.strip():
+            continue  # launch passes extra_nodes:="" as one empty token
+        parts = a.split()
+        if parts and all(_SPEC_RE.match(p) for p in parts):
+            specs.extend(parts)
+        else:
+            ros_args.append(a)
+    return specs, ros_args
 
 
 def _resolve(spec: str):
@@ -42,10 +68,7 @@ def main(args=None):  # pragma: no cover - requires a ROS 2 environment
 
     from kiss_icp_tpu.ros.odometry_server import get_node_class
 
-    specs = [a for a in (args if args is not None else sys.argv[1:])
-             if ":" in a and not a.startswith("-")]
-    ros_args = [a for a in (args if args is not None else sys.argv[1:])
-                if a not in specs]
+    specs, ros_args = split_specs(args if args is not None else sys.argv[1:])
 
     rclpy.init(args=ros_args or None)
     nodes = [get_node_class()()]

@@ -151,6 +151,15 @@ def main(argv=None) -> int:
         return 0
 
     sizes = [int(s) for s in args.devices.split(",")]
+    if args.pod:
+        # The pod program needs a map axis of 2: a 1-device "pod" would
+        # silently measure the batched program and corrupt the baseline of
+        # the normalized curve.
+        dropped = [s for s in sizes if s < 2]
+        if dropped:
+            print(f"--pod: dropping device counts {dropped} (needs >= 2)",
+                  file=sys.stderr)
+        sizes = [s for s in sizes if s >= 2]
     rows = []
     for n in sizes:
         env = dict(os.environ)
@@ -162,7 +171,7 @@ def main(argv=None) -> int:
         ).strip()
         cmd = [sys.executable, "-m", "kiss_icp_tpu.tools.scaling_bench",
                "--batch", str(args.batch), "--frames", str(args.frames)]
-        if args.pod and n >= 2:
+        if args.pod:
             cmd.append("--pod")
         proc = subprocess.run(cmd, env=env, capture_output=True, text=True,
                               timeout=1800)
@@ -188,9 +197,12 @@ def main(argv=None) -> int:
         "rows": rows,
     }
     if ok:
+        # Normalize against the SMALLEST measured mesh of the SAME program
+        # (for --pod that is 2 devices, not 1 — name the key accordingly).
         base = ok[0]["seq_frames_per_s"]
+        key = f"vs_{ok[0]['devices']}dev"
         for r in ok:
-            r["vs_1dev"] = round(r["seq_frames_per_s"] / base, 3)
+            r[key] = round(r["seq_frames_per_s"] / base, 3)
     print(json.dumps(summary), flush=True)
     if args.out:
         with open(args.out, "w") as f:

@@ -176,3 +176,31 @@ def test_pipeline_periodic_checkpoint_chunked(tmp_path):
     pipe = OdometryPipeline(ds, config=c, checkpoint_every=4)
     pipe.run()
     assert (pipe.results_dir / "checkpoint.npz").exists()
+
+
+def test_checkpoint_without_map_shards_key_loads(tmp_path):
+    """Back-compat: checkpoints written before the map_shards metadata key
+    existed must load into a default (single-device) engine — a new metadata
+    key defaults to the writer's implicit schema value instead of
+    invalidating every old checkpoint (round-3 review finding)."""
+    import json
+
+    cfg = _cfg()
+    icp = KissICP(cfg)
+    pts, ts = _scans(1)[0]
+    icp.register_frame_lazy(pts, ts)
+    p = tmp_path / "old.npz"
+    icp.save_checkpoint(p)
+
+    # Rewrite the metadata record as an old writer would have produced it.
+    with np.load(p) as d:
+        arrays = {k: d[k] for k in d.files}
+    meta = json.loads(bytes(arrays["metadata_json"]).decode())
+    del meta["map_shards"]
+    arrays["metadata_json"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(p, **arrays)
+
+    fresh = KissICP(cfg)
+    fresh.load_checkpoint(p)
+    np.testing.assert_array_equal(fresh.last_pose, icp.last_pose)

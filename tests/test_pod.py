@@ -129,3 +129,20 @@ def test_pod_wrapper_api():
     poses = po.register_chunks(frames)
     assert poses.shape == (b, k, 4, 4)
     assert np.all(np.isfinite(poses))
+
+
+def test_pod_oversized_scan_stride_subsampled():
+    """Scans above max_points_per_frame are stride-subsampled with drop
+    accounting (head truncation would angularly bias an azimuth-ordered
+    scan; round-3 review finding)."""
+    cfg = _config()
+    cfg.engine.map_shards = 4
+    b, k = 2, 1
+    cap = cfg.engine.max_points_per_frame
+    rng = np.random.default_rng(5)
+    big = rng.uniform(-30, 30, (cap * 2, 3)).astype(np.float32)
+    po = pod.PodOdometry(cfg, batch=b)
+    poses = po.register_chunks([[big], [big[:100]]])
+    assert poses.shape == (b, k, 4, 4)
+    assert po.last_input_dropped == cap  # only the oversized scan drops
+    assert po.total_input_dropped == cap
