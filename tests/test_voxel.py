@@ -116,3 +116,24 @@ def test_group_by_voxel_overflow_drops_extras():
     assert int(g.num_groups) == 1
     got = np.asarray(g.candidates[0])[np.asarray(g.cand_valid[0])]
     np.testing.assert_allclose(got, pts[:8], atol=1e-6)
+
+
+def test_standalone_voxel_down_sample_numpy_api():
+    """Reference-compat utility (kiss_icp.voxelization.voxel_down_sample):
+    numpy in/out, one point per voxel, lowest index wins."""
+    from kiss_icp_tpu.voxelization import voxel_down_sample
+
+    rng = np.random.default_rng(4)
+    frame = rng.uniform(-10, 10, (777, 4)).astype(np.float32)  # extra column
+    out = voxel_down_sample(frame, 1.0)
+    assert out.shape[1] == 3 and 0 < len(out) <= 777
+    keys_in = np.floor(frame[:, :3] / 1.0).astype(np.int64)
+    keys_out = np.floor(out / 1.0).astype(np.int64)
+    assert len({tuple(k) for k in keys_out}) == len(out)  # one per voxel
+    assert {tuple(k) for k in keys_out} == {tuple(k) for k in keys_in}
+    first = {}
+    for i, kk in enumerate(map(tuple, keys_in)):
+        first.setdefault(kk, frame[i, :3])
+    for kk, p in zip(map(tuple, keys_out), out):
+        np.testing.assert_array_equal(p, first[kk])
+    assert len(voxel_down_sample(np.zeros((0, 3)), 1.0)) == 0
