@@ -119,7 +119,6 @@ def build_compact(mcfg: MapConfig, ccfg: CompactConfig, m: VoxelMap) -> CompactM
     # row claims exactly once unless its window fills).
     fp = fingerprint(ckeys)  # (L,)
     hrows = _hash_rows(ckeys, ccfg)  # (L,)
-    windows = _window(hrows << (k.bit_length() - 1), k, h_cap)  # (L, K)
 
     def claim_round(state):
         hfp, hval, pending, _ = state
@@ -163,8 +162,6 @@ def lookup_rows(ccfg: CompactConfig, cm: CompactMap,
     """
     fp = fingerprint(coords)
     hrows = _hash_rows(coords, ccfg)
-    windows = _window(hrows << (ccfg.probe_length.bit_length() - 1),
-                      ccfg.probe_length, ccfg.hash_capacity)
     wfp = _window_fp(cm.hfp, hrows, ccfg.probe_length)
     match = wfp == fp[..., None]
     has = jnp.any(match, axis=-1)
@@ -184,13 +181,11 @@ def query_nearest_compact_loop(mcfg: MapConfig, ccfg: CompactConfig,
     running-min state (see hash_map.query_nearest_loop for the rationale —
     every intermediate is (N, P)-shaped instead of (N, 27, P)). Bit-identical
     tie-breaking to the flat formulations."""
-    import numpy as _np
-
     n = queries.shape[0]
     p = mcfg.max_points_per_voxel
 
     qvox = voxel_ops.point_to_voxel(queries, mcfg.voxel_size)  # (N, 3)
-    shifts = jnp.asarray(_np.asarray(_NEIGHBOR_SHIFTS))
+    shifts = jnp.asarray(_NEIGHBOR_SHIFTS)
     lanes = jnp.arange(p, dtype=jnp.int32)
 
     def neighbor_step(j, state):
@@ -226,13 +221,11 @@ def query_nearest_compact(mcfg: MapConfig, ccfg: CompactConfig, cm: CompactMap,
     order (_NEIGHBOR_SHIFTS), same lane order, same f32 distance arithmetic,
     so ties break the same way.
     """
-    import numpy as _np
-
     n = queries.shape[0]
     p = mcfg.max_points_per_voxel
 
     qvox = voxel_ops.point_to_voxel(queries, mcfg.voxel_size)  # (N, 3)
-    shifts = jnp.asarray(_np.asarray(_NEIGHBOR_SHIFTS))
+    shifts = jnp.asarray(_NEIGHBOR_SHIFTS)
     neigh = qvox[:, None, :] + shifts[None, :, :]  # (N, 27, 3)
     row, has_voxel = lookup_rows(ccfg, cm, neigh)  # (N, 27)
 

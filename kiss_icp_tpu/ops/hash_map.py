@@ -88,6 +88,11 @@ class MapConfig:
             raise ValueError(f"probe_length must be a power of two, got {k}")
         if k > (1 << self.capacity_log2):
             raise ValueError("probe_length exceeds the map capacity")
+        if self.storage not in ("f32", "u16"):
+            # A typo ('U16', 'fp32') would otherwise split the storage
+            # predicates and silently run a mixed-mode map.
+            raise ValueError(f"storage must be 'f32' or 'u16', got "
+                             f"{self.storage!r}")
 
     @property
     def capacity(self) -> int:
@@ -196,6 +201,11 @@ def window_row(coords: jnp.ndarray, capacity_log2: int,
     expensive op of the NN query (see docs/ARCHITECTURE.md roofline notes).
     """
     row_bits = capacity_log2 - probe_length.bit_length() + 1
+    if row_bits <= 0:
+        # probe_length == capacity: one window covering the whole table. The
+        # general expression would shift a uint32 by 32 — undefined (poison)
+        # in XLA/LLVM, not zero.
+        return jnp.zeros(coords.shape[:-1], jnp.int32)
     return (_hash_coords(coords) >> (32 - row_bits)).astype(jnp.int32)
 
 
@@ -344,7 +354,6 @@ def query_nearest_loop(cfg: MapConfig, m: VoxelMap, queries: jnp.ndarray,
         neigh = qvox + shifts[j][None, :]  # (N, 3)
         target_fp = fingerprint(neigh)  # (N,)
         rows = window_row(neigh, cfg.capacity_log2, k)  # (N,)
-        slots = _window(rows << (k.bit_length() - 1), k, cap)  # (N, K)
         window_fp = _window_fp(m.fprints, rows, k)
         match = window_fp == target_fp[:, None]
         has_voxel = jnp.any(match, axis=-1)
@@ -400,7 +409,6 @@ def insert(cfg: MapConfig, m: VoxelMap, points: jnp.ndarray,
 
     fp = fingerprint(groups.coords)  # (V,)
     rows = window_row(groups.coords, cfg.capacity_log2, k)  # (V,)
-    slots = _window(rows << (k.bit_length() - 1), k, cap)  # (V, K)
 
     # --- Phase A: find existing slots (full-window fingerprint + key compare).
     window_fp = _window_fp(m.fprints, rows, k)  # (V, K)
@@ -410,6 +418,14 @@ def insert(cfg: MapConfig, m: VoxelMap, points: jnp.ndarray,
     exact = fp_match & key_match
     has_existing = jnp.any(exact, axis=-1) & gvalid
     exist_pos = jnp.argmax(exact, axis=-1)
+    # Fingerprint shadowing: queries stop at a window's FIRST fingerprint
+    # match, so a new voxel whose fp equals a DIFFERENT voxel's entry in the
+    # same window could be stored yet never found (or make the older entry
+    # unfindable). Refuse the claim instead — the voxel drops and is COUNTED
+    # (num_dropped_voxels), same surfacing as capacity overflow. Probability
+    # ~K/2^32 per new voxel; correctness demands it be a counted event, not
+    # a silent hole.
+    shadowed = jnp.any(fp_match & ~key_match, axis=-1)
 
     # --- Phase B: claim free slots for new voxels (deterministic rounds).
     row_ids = jnp.arange(v, dtype=jnp.int32)
@@ -433,13 +449,24 @@ def insert(cfg: MapConfig, m: VoxelMap, points: jnp.ndarray,
         vkeys = vkeys.at[jnp.where(won, tgt_slot, cap)].set(groups.coords, mode="drop")
         assigned = jnp.where(won, tgt_slot, assigned)
         # Rows with no free slot anywhere in their window can never win: drop.
-        pending = pending & ~won & any_free
+        # A row whose window just gained an equal-fp entry from ANOTHER voxel
+        # (cross-round shadowing) drops too; within one round a window admits
+        # at most one winner (every row attempts the window's first free
+        # slot), so no same-round shadow pair can form.
+        wfp2 = _window_fp(fprints, rows, k)
+        wk2 = vkeys.reshape(cap // k, k, 3)[rows]
+        now_shadowed = jnp.any(
+            (wfp2 == fp[:, None])
+            & ~jnp.all(wk2 == groups.coords[:, None, :], axis=-1),
+            axis=-1,
+        )
+        pending = pending & ~won & any_free & ~now_shadowed
         return fprints, vkeys, pending, assigned, won
 
     def claim_cond(state):
         return jnp.any(state[2])
 
-    pending0 = gvalid & ~has_existing
+    pending0 = gvalid & ~has_existing & ~shadowed
     # Fresh loop-carry constants inherit pending0's varying-manual-axes type
     # (shard_map check_vma): `pending0 & False` is all-False but carries the
     # mesh-varying tag when insert runs inside a map-sharded step; in the

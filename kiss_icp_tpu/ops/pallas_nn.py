@@ -212,11 +212,10 @@ def query_nearest_fused(cfg: MapConfig, m: VoxelMap, queries: jnp.ndarray,
     n = queries.shape[0]
 
     qvox = voxel_ops.point_to_voxel(queries, cfg.voxel_size)  # (N, 3)
-    shifts = jnp.asarray(np.asarray(_NEIGHBOR_SHIFTS))
+    shifts = jnp.asarray(_NEIGHBOR_SHIFTS)
     neigh = qvox[:, None, :] + shifts[None, :, :]  # (N, 27, 3)
     target_fp = fingerprint(neigh)
     rows = window_row(neigh, cfg.capacity_log2, k)
-    slots = _window(rows << (k.bit_length() - 1), k, cap)  # (N, 27, K)
 
     window_fp = _window_fp(m.fprints, rows, k)  # row gather (see window_row)
     match = window_fp == target_fp[..., None]

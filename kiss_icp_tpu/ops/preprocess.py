@@ -65,7 +65,7 @@ def preprocess(
         stamps01 = (timestamps - t_min) / safe_span
         omega = se3.se3_log(relative_motion.astype(points.dtype))
         scale = jnp.where(has_stamps, stamps01 - 1.0, 0.0)  # exp(0)=I when no stamps
-        pose_per_point = se3.se3_exp(scale[:, None] * omega[None, :])  # (N, 4, 4)
+        pose_per_point = se3.exp_scaled_batch(omega, scale)  # (N, 4, 4)
         r = pose_per_point[:, :3, :3]
         t = pose_per_point[:, :3, 3]
         deskewed = jnp.einsum("nij,nj->ni", r, points) + t

@@ -207,7 +207,6 @@ def gauss_newton_loop_cached(
     kernel_scale: jnp.ndarray,
     *,
     gather_fn,
-    cache_size: int,
     refresh_dist: float,
     max_iterations: int,
     convergence: float,
@@ -381,7 +380,7 @@ def align_points_to_map(
 
         t_icp, iters, _ = gauss_newton_loop_cached(
             points, valid, guess, max_distance, kernel_scale,
-            gather_fn=gather_fn, cache_size=assoc_cache_size,
+            gather_fn=gather_fn,
             refresh_dist=float(assoc_refresh_dist),
             max_iterations=max_iterations, convergence=convergence,
             linsys_fn=linsys,

@@ -106,6 +106,9 @@ def voxel_downsample(
     h = h ^ (h >> 16)
     h = h * jnp.uint32(0x7FEB352D)
     h = h ^ (h >> 15)
+    # 0xFFFFFFFF is the non-head sentinel below: a head hashing exactly to it
+    # would sort among the non-heads and be dropped even with spare capacity.
+    h = jnp.where(h == jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFE), h)
     order_key = jnp.where(head, h, jnp.uint32(0xFFFFFFFF))
     rank = jnp.argsort(jnp.argsort(order_key)).astype(jnp.int32)  # hash rank
     out_pos = jnp.where(head & (rank < capacity), rank, capacity)  # capacity = drop slot

@@ -283,3 +283,62 @@ def test_aligned_windows_invariants():
                            jnp.ones(len(stored_centers), bool))
     assert bool(np.all(np.asarray(res.found)))
     np.testing.assert_allclose(np.asarray(res.distances), 0.0, atol=1e-6)
+
+
+def test_probe_window_spanning_whole_table():
+    """probe_length == capacity (one window over the whole table) is a
+    validator-permitted config; the general window_row expression would
+    shift a uint32 by 32 (undefined). All rows must be 0 and the map must
+    work end-to-end (round-3 review finding)."""
+    cfg = hm.MapConfig(voxel_size=1.0, max_distance=30.0,
+                       max_points_per_voxel=4, capacity_log2=4,
+                       probe_length=16, group_capacity=8)
+    rows = hm.window_row(jnp.asarray([[5, -3, 2], [0, 0, 0]], jnp.int32),
+                         cfg.capacity_log2, cfg.probe_length)
+    assert np.all(np.asarray(rows) == 0)
+    pts = np.array([[0.5, 0.5, 0.5], [3.2, 0.1, 0.4], [-2.7, 1.1, 0.0]],
+                   np.float32)
+    m = hm.create_map(cfg)
+    m, st = hm.insert(cfg, m, jnp.asarray(pts), jnp.ones(3, bool))
+    assert int(m.total_points) == 3 and int(st.num_dropped_voxels) == 0
+    q = hm.query_nearest(cfg, m, jnp.asarray(pts), jnp.ones(3, bool))
+    np.testing.assert_allclose(np.asarray(q.distances), 0.0, atol=1e-6)
+
+
+def test_storage_typo_rejected():
+    import pytest as _pytest
+    for bad in ("U16", "fp32", "u8"):
+        with _pytest.raises(ValueError, match="storage"):
+            hm.MapConfig(storage=bad)
+
+
+def test_fingerprint_shadowing_is_a_counted_drop():
+    """Voxels (-3403,1173,2243) and (2285,3484,3708) have EQUAL 32-bit
+    fingerprints and land in the SAME probe window under this config (found
+    by brute-force search). Queries stop at a window's first fingerprint
+    match, so storing both would make one permanently unfindable; insert
+    must refuse the second as a COUNTED drop instead (round-3 review
+    finding)."""
+    cfg = hm.MapConfig(voxel_size=1.0, max_distance=1e5,
+                       max_points_per_voxel=4, capacity_log2=13,
+                       probe_length=16, group_capacity=8)
+    a = np.array([[-3403 + 0.5, 1173 + 0.5, 2243 + 0.5]], np.float32)
+    b = np.array([[2285 + 0.5, 3484 + 0.5, 3708 + 0.5]], np.float32)
+    # Confirm the crafted collision still holds for the current hash.
+    ca = np.asarray(hm.fingerprint(jnp.asarray([[-3403, 1173, 2243]])))
+    cb = np.asarray(hm.fingerprint(jnp.asarray([[2285, 3484, 3708]])))
+    assert ca == cb
+
+    for first, second in ((a, b), (b, a)):
+        m = hm.create_map(cfg)
+        m, s1 = hm.insert(cfg, m, jnp.asarray(first), jnp.ones(1, bool))
+        assert int(s1.num_dropped_voxels) == 0
+        m, s2 = hm.insert(cfg, m, jnp.asarray(second), jnp.ones(1, bool))
+        assert int(s2.num_dropped_voxels) == 1  # refused, counted
+        assert int(m.total_points) == 1
+        # The stored voxel answers exactly; the refused one is not found
+        # (never a wrong neighbor 7000 m away).
+        qs = hm.query_nearest(cfg, m, jnp.asarray(first), jnp.ones(1, bool))
+        np.testing.assert_allclose(np.asarray(qs.distances), 0.0, atol=1e-5)
+        qr = hm.query_nearest(cfg, m, jnp.asarray(second), jnp.ones(1, bool))
+        assert not bool(np.asarray(qr.found)[0])
