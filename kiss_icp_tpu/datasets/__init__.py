@@ -91,11 +91,18 @@ def guess_dataloader(data: Path) -> Optional[str]:
             return "ouster"
         if ext == ".mcap":
             return "mcap"
+        if data.name == "metadata.yaml":
+            # The reference routes the bag's metadata file itself to rosbag
+            # (tools/cmd.py:44-46); rosbags' AnyReader opens the parent dir.
+            return "rosbag"
         return None
     if data.is_dir():
         entries = {p.name for p in data.iterdir()}
-        if any(e.endswith(".db3") for e in entries) and "metadata.yaml" in entries:
-            return "rosbag"  # ROS2 bag directory
+        if "metadata.yaml" in entries:
+            # ROS2 bag directory — either sqlite3 (.db3) or mcap storage;
+            # rosbags' AnyReader reads both (reference cmd.py:47-48 keys on
+            # metadata.yaml alone for the same reason).
+            return "rosbag"
         if "velodyne" in entries:  # KITTI-odometry sequence dir
             return None  # ambiguous: kitti wants the dataset root; let CLI decide
     return None

@@ -17,17 +17,21 @@ from scipy.spatial.transform import Rotation
 
 # numpy equivalents of the reference's struct format strings (helipr.py:46-65).
 _LAYOUTS = {
+    # NOTE on field widths: the reference formats are '='-prefixed
+    # (standard sizes, no padding), so 'L' and 'l' are FOUR bytes — Avia
+    # records are 19 bytes ('=fffBBBL') and Aeva 29/25 ('=ffffflB[f]');
+    # 8-byte time fields would misalign every record after the first.
     "Avia": dict(
         dtype=[("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
-               ("r", "u1"), ("g", "u1"), ("b", "u1"), ("t", "<u8")],
+               ("r", "u1"), ("g", "u1"), ("b", "u1"), ("t", "<u4")],
         time_field="t",
     ),
     "Aeva": dict(
         dtype=[("x", "<f4"), ("y", "<f4"), ("z", "<f4"), ("reflectivity", "<f4"),
-               ("velocity", "<f4"), ("t", "<i8"), ("line", "u1"), ("intensity", "<f4")],
+               ("velocity", "<f4"), ("t", "<i4"), ("line", "u1"), ("intensity", "<f4")],
         dtype_no_intensity=[("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
                             ("reflectivity", "<f4"), ("velocity", "<f4"),
-                            ("t", "<i8"), ("line", "u1")],
+                            ("t", "<i4"), ("line", "u1")],
         time_field="t",
     ),
     "Ouster": dict(

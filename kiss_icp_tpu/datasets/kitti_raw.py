@@ -48,10 +48,9 @@ RAW_TO_BENCHMARK_INDICES = {
 EARTH_RADIUS = 6378137.0  # meters
 
 
-def azimuth_timestamps(points: np.ndarray) -> np.ndarray:
-    """t = 0.5(-atan2(y,x)/pi + 1) (kitti_raw.py:102-108)."""
-    yaw = -np.arctan2(points[:, 1], points[:, 0])
-    return 0.5 * (yaw / np.pi + 1.0)
+# Shared pseudo-stamp convention (reference kitti_raw.py:102-108 and
+# boreas.py:63-68 use the identical formula): one definition.
+from kiss_icp_tpu.datasets.boreas import azimuth_timestamps  # noqa: F401,E402
 
 
 def pose_from_oxts(lat, lon, alt, roll, pitch, yaw, scale) -> np.ndarray:

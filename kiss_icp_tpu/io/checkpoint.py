@@ -52,10 +52,17 @@ def save_state(path, state) -> None:
     The state is materialized on the host (one d2h transfer of the map
     tensors) and stored compressed; a 2^18-slot f32 map is ~60 MB raw and
     compresses well while the map is far from full.
+
+    The file lands at EXACTLY ``path`` (numpy's savez would silently append
+    '.npz' to a suffixless name, which `load_checkpoint(path)` then cannot
+    find).
     """
     leaves = jax.tree_util.tree_leaves(state)
     arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
-    np.savez_compressed(Path(path), **arrays)
+    path = Path(path)
+    tmp = path.with_name(path.name + f".{os.getpid()}.tmp.npz")
+    np.savez_compressed(tmp, **arrays)
+    os.replace(tmp, path)
 
 
 def save_checkpoint(path, state, config) -> None:

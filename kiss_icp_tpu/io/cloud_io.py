@@ -95,7 +95,14 @@ def read_ply(path: Union[str, Path]) -> Tuple[np.ndarray, Optional[np.ndarray]]:
 
     for name, count, props in elements:
         if name != "vertex":
-            continue
+            # Body parsing below reads from byte offset 0, which is only the
+            # vertex data when vertex is the FIRST element; fail loudly
+            # instead of silently decoding another element's bytes as
+            # coordinates.
+            raise ValueError(
+                f"{path}: element '{name}' precedes 'vertex' — only "
+                "vertex-first PLY layouts are supported"
+            )
         if any(dt is None for _, dt in props):
             raise ValueError(f"{path}: list properties in vertex element unsupported")
         if fmt == "ascii":
@@ -122,7 +129,10 @@ def read_pcd(path: Union[str, Path]) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     with open(path, "rb") as f:
         header = {}
         while True:
-            line = f.readline().decode("ascii", "replace").strip()
+            raw = f.readline()
+            if not raw:  # EOF before a DATA line: truncated / not a PCD
+                raise ValueError(f"{path}: unterminated PCD header")
+            line = raw.decode("ascii", "replace").strip()
             if line.startswith("#") or not line:
                 continue
             key, _, rest = line.partition(" ")
@@ -179,11 +189,33 @@ def read_xyz(path: Union[str, Path]) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     return pts[np.all(np.isfinite(pts), axis=1)], None
 
 
+def read_mesh(path: Union[str, Path]) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Mesh formats (obj/off/stl/ctm): vertices via trimesh, like the
+    reference's reader cascade (generic.py:120-135). Gated optional
+    dependency — everything else in this module is pure numpy."""
+    try:
+        import trimesh
+    except ImportError as e:
+        raise ImportError(
+            f"reading {Path(path).suffix} files requires trimesh "
+            "(pip install trimesh)"
+        ) from e
+    mesh = trimesh.load(str(path), force="mesh")
+    pts = np.asarray(mesh.vertices, dtype=np.float64)
+    return pts[np.all(np.isfinite(pts), axis=1)], None
+
+
 _READERS = {
     ".bin": read_kitti_bin,
     ".ply": read_ply,
     ".pcd": read_pcd,
     ".xyz": read_xyz,
+    # Mesh formats of the reference's supported set (datasets/__init__.py:
+    # 27-37): vertices only, trimesh-gated.
+    ".obj": read_mesh,
+    ".off": read_mesh,
+    ".stl": read_mesh,
+    ".ctm": read_mesh,
 }
 
 

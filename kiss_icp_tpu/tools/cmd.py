@@ -84,10 +84,15 @@ def main(argv=None) -> int:
         return 2
 
     try:
+        # Keywords only: loaders name their second parameter differently
+        # (sequence/topic/meta) and every loader swallows unused keywords,
+        # so keyword passing can never collide with a positional binding
+        # (a positional sequence-or-topic arg made rosbag/mcap/ouster raise
+        # "got multiple values for argument").
         dataset = dataset_factory(
             dataloader,
             args.data,
-            args.sequence if args.sequence is not None else args.topic,
+            sequence=args.sequence,
             topic=args.topic,
             meta=args.meta,
         )

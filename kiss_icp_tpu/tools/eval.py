@@ -55,7 +55,12 @@ def print_metrics_table(results: Dict) -> str:
     )
     lines = ["| Sequence | " + " | ".join(metric_names) + " |"]
     lines.append("|" + "---|" * (len(metric_names) + 1))
-    for seq, r in sorted(results.items()):
+    # Numeric-aware row order: '10' after '9', not after '1'.
+    def _seq_key(item):
+        s = str(item[0])
+        return (0, int(s)) if s.isdigit() else (1, s)
+
+    for seq, r in sorted(results.items(), key=_seq_key):
         cells = [
             f"{r['metrics'][m]:.3f}" if m in r["metrics"] else "-"
             for m in metric_names

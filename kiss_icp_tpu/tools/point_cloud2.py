@@ -26,7 +26,9 @@ _DATATYPES = {
     8: np.dtype(np.float64),
 }
 
-TIME_FIELD_NAMES = ("t", "timestamp", "timestamps", "time", "stamps")
+# One definition of the stamp-field sniff set (reference sniffs the same
+# names in two places too — Utils.hpp:94-106 and generic.py:96-105).
+from kiss_icp_tpu.io.cloud_io import TIME_FIELD_NAMES  # noqa: F401,E402
 
 
 def _fields_to_dtype(fields, point_step: int) -> np.dtype:

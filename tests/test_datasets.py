@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 from kiss_icp_tpu import datasets
+from kiss_icp_tpu.datasets import dataset_factory, guess_dataloader
 from kiss_icp_tpu.datasets.kitti import KITTIOdometryDataset, correct_kitti_scan
 from kiss_icp_tpu.datasets.synthetic import SyntheticDataset
 
@@ -105,3 +106,29 @@ def test_guess_dataloader(tmp_path):
     f2 = tmp_path / "data.pcap"
     f2.write_bytes(b"")
     assert datasets.guess_dataloader(f2) == "ouster"
+
+
+def test_factory_keyword_only_call_streaming_loaders(tmp_path):
+    """The CLI's factory call passes sequence/topic/meta as KEYWORDS: a
+    positional arg used to bind to rosbag/mcap/ouster's topic/meta parameter
+    and collide with the same keyword (TypeError, round-3 review finding).
+    With rosbags/mcap/ouster-sdk absent the loaders must reach their clean
+    gated ImportError instead."""
+    bag = tmp_path / "x.bag"
+    bag.write_bytes(b"")
+    for name in ("rosbag", "mcap", "ouster"):
+        with pytest.raises(ImportError):
+            dataset_factory(name, bag, sequence=None, topic="/points",
+                            meta=None)
+
+
+def test_guess_dataloader_ros2_bag_layouts(tmp_path):
+    """metadata.yaml (file or directory member) routes to rosbag regardless
+    of the storage plugin — mcap-storage ROS2 bags have no .db3 (reference
+    tools/cmd.py:44-48)."""
+    bagdir = tmp_path / "mybag"
+    bagdir.mkdir()
+    (bagdir / "metadata.yaml").write_text("rosbag2_bagfile_information: {}")
+    (bagdir / "data_0.mcap").write_bytes(b"")
+    assert guess_dataloader(bagdir) == "rosbag"
+    assert guess_dataloader(bagdir / "metadata.yaml") == "rosbag"

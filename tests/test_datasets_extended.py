@@ -239,3 +239,47 @@ def test_gated_loaders_raise_importerror(tmp_path):
     for name in ["rosbag", "nuscenes"]:
         with pytest.raises(ImportError):
             dataset_factory(name, tmp_path / "x", "0")
+
+
+def test_helipr_avia_aeva_record_sizes(tmp_path):
+    """The reference struct formats are '='-prefixed (standard sizes): Avia
+    '=fffBBBL' is 19 bytes and Aeva '=ffffflBf' is 29 — 8-byte time fields
+    would misalign every record after the first (round-3 review finding)."""
+    import struct
+
+    from kiss_icp_tpu.datasets import helipr as hp
+
+    assert np.dtype(hp._LAYOUTS["Avia"]["dtype"]).itemsize == \
+        struct.calcsize("=fffBBBL") == 19
+    assert np.dtype(hp._LAYOUTS["Aeva"]["dtype"]).itemsize == \
+        struct.calcsize("=ffffflBf") == 29
+    assert np.dtype(hp._LAYOUTS["Aeva"]["dtype_no_intensity"]).itemsize == \
+        struct.calcsize("=ffffflB") == 25
+    assert np.dtype(hp._LAYOUTS["Ouster"]["dtype"]).itemsize == \
+        struct.calcsize("=ffffIHHH") == 26
+    assert np.dtype(hp._LAYOUTS["Velodyne"]["dtype"]).itemsize == \
+        struct.calcsize("=ffffHf") == 22
+
+    # End-to-end decode of an Avia scan written record-by-record with the
+    # reference's struct format.
+    root = tmp_path
+    scan_dir = root / "LiDAR" / "Avia"
+    gt_dir = root / "LiDAR_GT"
+    scan_dir.mkdir(parents=True)
+    gt_dir.mkdir(parents=True)
+    rng = np.random.default_rng(8)
+    n = 300
+    xyz = rng.uniform(-40, 40, (n, 3)).astype(np.float32)
+    stamps = (np.arange(n) * 100).astype(np.uint32)
+    with open(scan_dir / "2000000000.bin", "wb") as f:
+        for i in range(n):
+            f.write(struct.pack("=fffBBBL", *xyz[i], 1, 2, 3, int(stamps[i])))
+    from scipy.spatial.transform import Rotation as _R
+    q = _R.identity().as_quat()
+    np.savetxt(gt_dir / "global_Avia_gt.txt",
+               np.array([[2000000000, 0, 0, 0, q[0], q[1], q[2], q[3]]]))
+    ds = HeLiPRDataset(root, "Avia")
+    pts, ts = ds[0]
+    assert pts.shape == (n, 3)
+    np.testing.assert_allclose(pts, xyz, atol=1e-6)
+    np.testing.assert_allclose(ts.max(), 1.0)
