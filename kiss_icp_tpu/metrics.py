@@ -34,7 +34,10 @@ def _trajectory_distances(poses: np.ndarray) -> np.ndarray:
 
 def _last_frame_from_segment_length(dist: np.ndarray, first: int, length: float) -> int:
     target = dist[first] + length
-    idx = np.searchsorted(dist, target, side="left")
+    # side="right": first index with dist STRICTLY greater than the target,
+    # matching the devkit loop `if (dist[i] > dist[first] + len)`
+    # (Metrics.cpp:75-82) on exact-boundary arc lengths.
+    idx = np.searchsorted(dist, target, side="right")
     return int(idx) if idx < len(dist) else -1
 
 
@@ -101,6 +104,10 @@ def absolute_trajectory_error(
     (Metrics.cpp:158-189)."""
     gt_poses = np.asarray(gt_poses, np.float64)
     poses = np.asarray(poses, np.float64)
+    if len(poses) == 0 or len(gt_poses) == 0:
+        # An empty run has no trajectory error; the Umeyama SVD on empty
+        # arrays would raise LinAlgError long after the run completed.
+        return 0.0, 0.0
     align = _umeyama_alignment(poses[:, :3, 3].T, gt_poses[:, :3, 3].T)
 
     rot_sse = 0.0

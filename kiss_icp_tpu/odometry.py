@@ -250,6 +250,28 @@ def make_chunked_step(config: KISSConfig):
     return jax.jit(chunk, donate_argnums=donate)
 
 
+def subsample_to_capacity(frame, timestamps, cap: int):
+    """Deterministic stride subsample of a scan above the padded-buffer
+    capacity (the voxel filter would drop most of the surplus anyway; HEAD
+    truncation would angularly bias an azimuth-ordered scan). The reference
+    never needs this — dynamic std::vector; fixed shapes are the price of
+    one XLA program.
+
+    Returns (frame, timestamps, n_dropped). Shared by every host-side
+    packer (KissICP._pad, BatchedOdometry, MultihostBatchedOdometry,
+    PodOdometry) so truncation semantics and drop accounting cannot
+    diverge. Timestamps whose length does not match the scan are passed
+    through untouched (callers ignore mismatched stamps)."""
+    frame = np.asarray(frame)
+    n = frame.shape[0]
+    if n <= cap:
+        return frame, timestamps, 0
+    sel = np.linspace(0, n - 1, cap).astype(np.int64)
+    if timestamps is not None and len(timestamps) == n:
+        timestamps = np.asarray(timestamps)[sel]
+    return frame[sel], timestamps, n - cap
+
+
 def create_odometry(config: KISSConfig) -> "KissICP":
     """Engine factory: the single-device KissICP, or — when the config asks
     for `engine.map_shards > 1` — the map-sharded ShardedKissICP (same host
@@ -290,18 +312,12 @@ class KissICP:
     def _pad(
         self, frame: np.ndarray, timestamps: Optional[np.ndarray]
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        n = frame.shape[0]
         cap = self._capacity
-        self.last_input_dropped = max(0, n - cap)
-        self.total_input_dropped += self.last_input_dropped
-        if n > cap:
-            # Deterministic stride subsample; the voxel filter would drop most
-            # of the surplus anyway. (The reference never needs this: dynamic
-            # std::vector. Fixed shapes are the price of one XLA program.)
-            sel = np.linspace(0, n - 1, cap).astype(np.int64)
-            frame = frame[sel]
-            timestamps = timestamps[sel] if timestamps is not None and len(timestamps) else timestamps
-            n = cap
+        frame, timestamps, dropped = subsample_to_capacity(
+            frame, timestamps, cap)
+        self.last_input_dropped = dropped
+        self.total_input_dropped += dropped
+        n = frame.shape[0]
         pts = np.zeros((cap, 3), np.float32)
         pts[:n] = frame[:, :3]
         ts = np.zeros((cap,), np.float32)

@@ -210,20 +210,30 @@ class BatchedOdometry:
             init_batched_state(config, batch), NamedSharding(self.mesh, P(SEQ_AXIS))
         )
         self._cap = int(config.engine.max_points_per_frame)
+        self.last_input_dropped = 0
+        self.total_input_dropped = 0
 
     def register_frames(self, frames, timestamps=None) -> np.ndarray:
-        """frames: list of B (N_i, 3) scans. Returns (B, 4, 4) poses."""
+        """frames: list of B (N_i, 3) scans. Returns (B, 4, 4) poses.
+
+        Oversized scans are stride-subsampled with drop accounting
+        (odometry.subsample_to_capacity — head truncation would angularly
+        bias an azimuth-ordered scan)."""
         assert len(frames) == self.batch
         pts = np.zeros((self.batch, self._cap, 3), np.float32)
         ts = np.zeros((self.batch, self._cap), np.float32)
         valid = np.zeros((self.batch, self._cap), bool)
+        self.last_input_dropped = 0
         for i, f in enumerate(frames):
-            f = np.asarray(f)[: self._cap]
+            t = None if timestamps is None else timestamps[i]
+            f, t, dropped = odometry.subsample_to_capacity(f, t, self._cap)
+            self.last_input_dropped += dropped
             n = len(f)
             pts[i, :n] = f[:, :3]
             valid[i, :n] = True
-            if timestamps is not None and timestamps[i] is not None and len(timestamps[i]) >= n:
-                ts[i, :n] = np.asarray(timestamps[i])[:n]
+            if t is not None and len(t) == n:
+                ts[i, :n] = np.asarray(t)
+        self.total_input_dropped += self.last_input_dropped
         self.state, result = self._step(self.state, pts, ts, valid)
         return np.asarray(result.pose)
 

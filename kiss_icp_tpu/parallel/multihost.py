@@ -122,20 +122,27 @@ class MultihostBatchedOdometry:
 
     def register_frames(self, frames, timestamps=None) -> np.ndarray:
         """frames: list of `local_batch` (N_i, 3) scans from this host's
-        sequences. Returns the global (B, 4, 4) poses."""
+        sequences. Returns the global (B, 4, 4) poses. Oversized scans are
+        stride-subsampled with drop accounting (`total_input_dropped`)."""
+        from kiss_icp_tpu import odometry as odom
+
         lb = self.local_batch
         assert len(frames) == lb, (len(frames), lb)
         pts = np.zeros((lb, self._cap, 3), np.float32)
         ts = np.zeros((lb, self._cap), np.float32)
         valid = np.zeros((lb, self._cap), bool)
+        self.last_input_dropped = 0
         for i, f in enumerate(frames):
-            f = np.asarray(f)[: self._cap]
+            t = None if timestamps is None else timestamps[i]
+            f, t, dropped = odom.subsample_to_capacity(f, t, self._cap)
+            self.last_input_dropped += dropped
             n = len(f)
             pts[i, :n] = f[:, :3]
             valid[i, :n] = True
-            if (timestamps is not None and timestamps[i] is not None
-                    and len(timestamps[i]) >= n):
-                ts[i, :n] = np.asarray(timestamps[i])[:n]
+            if t is not None and len(t) == n:
+                ts[i, :n] = np.asarray(t)
+        self.total_input_dropped = (
+            getattr(self, "total_input_dropped", 0) + self.last_input_dropped)
         self.state, result = self._step(
             self.state,
             self._global_array(pts),

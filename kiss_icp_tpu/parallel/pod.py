@@ -244,6 +244,12 @@ class PodOdometry:
         b = len(frames)
         assert b == self.batch, (b, self.batch)
         k = len(frames[0])
+        if any(len(seq) != k for seq in frames):
+            raise ValueError(
+                f"all sequences must supply the same chunk length; got "
+                f"{[len(seq) for seq in frames]} (pad short sequences with "
+                "empty scans or trim to the shortest)"
+            )
         cap = self._cap
         pts = np.zeros((b, k, cap, 3), np.float32)
         ts = np.zeros((b, k, cap), np.float32)
@@ -251,16 +257,11 @@ class PodOdometry:
         self.last_input_dropped = 0
         for i in range(b):
             for j in range(k):
-                f = np.asarray(frames[i][j])
                 t = None if timestamps is None else timestamps[i][j]
+                f, t, dropped = odometry.subsample_to_capacity(
+                    frames[i][j], t, cap)
+                self.last_input_dropped += dropped
                 n = len(f)
-                self.last_input_dropped += max(0, n - cap)
-                if n > cap:
-                    sel = np.linspace(0, n - 1, cap).astype(np.int64)
-                    f = f[sel]
-                    if t is not None and len(t) == n:
-                        t = np.asarray(t)[sel]
-                    n = cap
                 pts[i, j, :n] = f[:, :3]
                 valid[i, j, :n] = True
                 if t is not None and len(t) == n:

@@ -377,7 +377,11 @@ def make_map_sharded_step(config: KISSConfig, mesh: Mesh,
         in_specs=(state_specs(), rep, rep, rep),
         out_specs=(state_specs(), result_specs(with_points)),
     )
-    return jax.jit(mapped)
+    # Donate the state like every sibling step factory: without aliasing the
+    # dominant (C/D, P, 3) point store exists TWICE per device during the
+    # step — on the engine whose purpose is maps too big per device.
+    donate = (0,) if config.engine.donate_state else ()
+    return jax.jit(mapped, donate_argnums=donate)
 
 
 def make_map_sharded_chunked_step(config: KISSConfig, mesh: Mesh):
@@ -394,7 +398,8 @@ def make_map_sharded_chunked_step(config: KISSConfig, mesh: Mesh):
 
         return jax.lax.scan(body, state, (points, timestamps, valid))
 
-    return jax.jit(chunk)
+    donate = (0,) if config.engine.donate_state else ()
+    return jax.jit(chunk, donate_argnums=donate)
 
 
 @functools.partial(jax.jit, static_argnames=("n_shards",))

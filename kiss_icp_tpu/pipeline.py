@@ -46,14 +46,24 @@ class OdometryPipeline:
         checkpoint_every: int = 0,
     ):
         self._dataset = dataset
-        self.config = (
-            config
-            if not isinstance(config, (str, Path, type(None)))
-            else load_config(config, max_range=max_range, deskew=deskew)
-        )
+        if isinstance(config, (str, Path, type(None))):
+            self.config = load_config(config, max_range=max_range,
+                                      deskew=deskew)
+        else:
+            self.config = config
+            # The overrides apply on EVERY config path — silently ignoring
+            # them for an instance argument would run under different
+            # cropping/deskew than the caller asked for.
+            if max_range is not None:
+                self.config.data.max_range = float(max_range)
+            if deskew is not None:
+                self.config.data.deskew = bool(deskew)
         self.odometry = create_odometry(self.config)
 
         # Frame windowing (reference pipeline.py:50-56).
+        if jump < 0 or jump > len(dataset):
+            raise ValueError(
+                f"--jump {jump} is outside the dataset (len {len(dataset)})")
         self._n_scans = len(dataset) - jump if n_scans == -1 else min(len(dataset) - jump, n_scans)
         self._first = jump
         self._last = self._first + self._n_scans

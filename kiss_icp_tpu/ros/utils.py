@@ -34,13 +34,17 @@ def quat_trans_to_pose(quat_xyzw, trans) -> np.ndarray:
     return pose
 
 
-def reexpress_in_base_frame(pose: np.ndarray, t_cloud_base: np.ndarray) -> np.ndarray:
-    """T' = T_cb . T . T_cb^-1: express the LiDAR-frame odometry in a base
-    frame given cloud<-base extrinsics `T_cb` (matches the reference's
-    `cloud2base * pose * cloud2base.inverse()`, OdometryServer.cpp:181-186;
-    the node publishes the conjugated pose when `base_frame` is set)."""
-    inv = np.linalg.inv(t_cloud_base)
-    return t_cloud_base @ pose @ inv
+def reexpress_in_base_frame(pose: np.ndarray, t_base_cloud: np.ndarray) -> np.ndarray:
+    """T' = T_bc . T . T_bc^-1: express the LiDAR-frame odometry in a base
+    frame given the base<-cloud extrinsic `T_bc` — i.e. the cloud-to-base
+    transform a TF lookup(target=base, source=cloud) returns, the matrix
+    the reference names `cloud2base` (`cloud2base * pose *
+    cloud2base.inverse()`, OdometryServer.cpp:181-186). The node publishes
+    the conjugated pose when `base_frame` is set. (The parameter was
+    previously named/documented as the INVERSE extrinsic — a caller
+    supplying that matrix would re-express in the wrong frame.)"""
+    inv = np.linalg.inv(t_base_cloud)
+    return t_base_cloud @ pose @ inv
 
 
 def odometry_covariance(

@@ -147,3 +147,37 @@ def test_pipeline_silent_without_overflow(tmp_path):
     assert not [w for w in caught if w.category is RuntimeWarning]
     assert pipeline.total_dropped_downsample == 0
     assert pipeline.total_dropped_map_voxels == 0
+
+
+def test_pad_oversized_scan_with_mismatched_timestamps():
+    """Timestamps whose length differs from the scan are tolerated (ignored)
+    everywhere; the oversized-scan subsample path used to IndexError on them
+    instead (round-3 review finding)."""
+    from kiss_icp_tpu.odometry import subsample_to_capacity
+
+    frame = np.random.default_rng(0).uniform(-10, 10, (500, 3)).astype(np.float32)
+    bad_ts = np.zeros(7, np.float32)  # wrong length
+    f, t, dropped = subsample_to_capacity(frame, bad_ts, 128)
+    assert f.shape == (128, 3) and dropped == 372
+    assert t is bad_ts  # passed through untouched, caller ignores it
+    f2, t2, d2 = subsample_to_capacity(frame, np.arange(500, dtype=np.float32), 128)
+    assert t2.shape == (128,) and d2 == 372
+
+
+def test_batched_wrapper_counts_input_drops():
+    """BatchedOdometry stride-subsamples oversized scans with drop
+    accounting, same policy as KissICP._pad (round-3 review finding:
+    it used to head-truncate silently)."""
+    from kiss_icp_tpu.parallel.batch import BatchedOdometry, make_mesh
+
+    cfg = _config(frame_capacity=2048, source_capacity=512,
+                  map_capacity_log2=14)
+    cap = cfg.engine.max_points_per_frame
+    rng = np.random.default_rng(1)
+    big = rng.uniform(-30, 30, (cap * 2, 3)).astype(np.float32)
+    small = big[:64]
+    bo = BatchedOdometry(cfg, batch=2, mesh=make_mesh(2))
+    poses = bo.register_frames([big, small])
+    assert poses.shape == (2, 4, 4)
+    assert bo.last_input_dropped == cap
+    assert bo.total_input_dropped == cap

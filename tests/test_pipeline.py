@@ -172,3 +172,22 @@ def test_pipeline_map_sharded_engine_matches(tmp_path):
     resumed = create_odometry(cfg_b)
     resumed.load_checkpoint(ckpt)
     np.testing.assert_allclose(resumed.last_pose, p2.poses[-1], atol=1e-5)
+
+
+def test_pipeline_jump_validation_and_config_overrides(tmp_path):
+    ds = SyntheticDataset(sequence=3, n_scans=3, n_beams=16, n_azimuth=128)
+    with pytest.raises(ValueError, match="jump"):
+        OdometryPipeline(ds, config=_small_config(tmp_path), jump=99)
+    # max_range/deskew overrides apply to an INSTANCE config too (they were
+    # silently dropped on that path; round-3 review finding).
+    cfg = _small_config(tmp_path)
+    p = OdometryPipeline(ds, config=cfg, max_range=33.0, deskew=False)
+    assert p.config.data.max_range == 33.0
+    assert p.config.data.deskew is False
+
+
+def test_metrics_empty_trajectory():
+    from kiss_icp_tpu import metrics
+    empty = np.zeros((0, 4, 4))
+    assert metrics.absolute_trajectory_error(empty, empty) == (0.0, 0.0)
+    assert metrics.seq_error(empty, empty) == (0.0, 0.0)
