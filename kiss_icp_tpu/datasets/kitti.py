@@ -62,7 +62,10 @@ class KITTIOdometryDataset:
         if native.available():
             pts = native.read_scan(self.scan_files[idx], native.FORMAT_F32X4)
         else:
-            pts = np.fromfile(self.scan_files[idx], dtype=np.float32).reshape(-1, 4)[:, :3]
+            # Same decoder the prefetcher falls back to: identical NaN /
+            # truncation semantics whether or not `make native` ran.
+            pts = native._numpy_decode(self.scan_files[idx],
+                                       native.FORMAT_F32X4, 1 << 20)
         return correct_kitti_scan(pts), np.array([])
 
     def _tr(self) -> np.ndarray:

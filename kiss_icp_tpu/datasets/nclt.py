@@ -17,6 +17,7 @@ def read_nclt_scan(file_path: str) -> np.ndarray:
     offset -100 (nclt.py:61-83; decode documented at
     robots.engin.umich.edu/nclt read_vel_sync)."""
     binary = np.fromfile(file_path, dtype=np.int16)
+    binary = binary[: (len(binary) // 4) * 4]  # floor a truncated tail
     x = binary[0::4].astype(np.float32) * 0.005 - 100.0
     y = binary[1::4].astype(np.float32) * 0.005 - 100.0
     z = binary[2::4].astype(np.float32) * 0.005 - 100.0

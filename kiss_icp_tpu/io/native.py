@@ -33,7 +33,13 @@ def _load():
         return _lib
     if not os.path.exists(_LIB_PATH):
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        # Corrupt / wrong-arch / truncated build product: degrade to the
+        # numpy fallback exactly like a missing library (the module
+        # docstring's graceful-degradation promise).
+        return None
     lib.kisstpu_read_scan.restype = ctypes.c_int64
     lib.kisstpu_read_scan.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
@@ -70,7 +76,9 @@ def read_scan(path: str, fmt: int, capacity: int = 1 << 20) -> np.ndarray:
     )
     if n < 0:
         raise IOError(f"native read failed: {path}")
-    return out[:n]
+    # copy: returning a view would pin the whole (capacity, 3) staging
+    # buffer alive for the scan's lifetime.
+    return out[:n].copy()
 
 
 class ScanPrefetcher:
@@ -111,8 +119,17 @@ class ScanPrefetcher:
                 self._handle,
                 self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             )
-            if n < 0:
+            if n == -1:
                 raise StopIteration
+            if n < 0:
+                # -2: THIS position's file failed to read/decode (or the
+                # pool died). An empty scan here would silently register a
+                # bogus frame — raise with the offending path instead.
+                bad = (self._files[self._idx]
+                       if self._idx < len(self._files) else "<unknown>")
+                self._idx += 1
+                raise IOError(f"native prefetch failed at {bad}")
+            self._idx += 1
             return self._buf[:n].copy()
         # numpy fallback (synchronous)
         if self._idx >= len(self._files):
@@ -126,6 +143,9 @@ class ScanPrefetcher:
         if self._handle is not None and lib is not None:
             lib.kisstpu_prefetcher_destroy(self._handle)
             self._handle = None
+        # Exhaust the iterator: continuing after close() must StopIteration,
+        # not silently restart the sequence through the numpy fallback.
+        self._idx = len(self._files)
 
     def __del__(self):
         try:
@@ -135,15 +155,22 @@ class ScanPrefetcher:
 
 
 def _numpy_decode(path: str, fmt: int, capacity: int) -> np.ndarray:
-    if fmt == FORMAT_F32X4:
-        pts = np.fromfile(path, dtype=np.float32).reshape(-1, 4)[:, :3]
-    elif fmt == FORMAT_F32X6:
-        pts = np.fromfile(path, dtype=np.float32).reshape(-1, 6)[:, :3]
+    """Pure-numpy decode matching the native decoders' semantics exactly:
+    partial trailing records of truncated files are floored (not an error),
+    and points with any |coordinate| >= 1e30 are dropped along with
+    non-finite ones — results must not depend on whether `make native` ran.
+    """
+    if fmt in (FORMAT_F32X4, FORMAT_F32X6):
+        stride = 4 if fmt == FORMAT_F32X4 else 6
+        flat = np.fromfile(path, dtype=np.float32)
+        n_rec = len(flat) // stride
+        pts = flat[: n_rec * stride].reshape(-1, stride)[:, :3]
     elif fmt == FORMAT_NCLT:
         from kiss_icp_tpu.datasets.nclt import read_nclt_scan
 
         pts = read_nclt_scan(path).astype(np.float32)
     else:
         raise ValueError(f"unknown format {fmt}")
-    pts = pts[np.all(np.isfinite(pts), axis=1)]
-    return pts[:capacity]
+    keep = np.all(np.isfinite(pts), axis=1) & np.all(np.abs(pts) < 1e30,
+                                                     axis=1)
+    return pts[keep][:capacity]

@@ -86,3 +86,66 @@ def test_prefetcher_order_and_content(tmp_path):
 def test_prefetcher_empty():
     pre = native.ScanPrefetcher([], native.FORMAT_F32X4)
     assert list(pre) == []
+
+
+def test_prefetcher_surfaces_unreadable_file(tmp_path):
+    """A failed/missing file mid-sequence raises IOError naming the path
+    instead of silently yielding an empty scan (round-3 review finding —
+    an empty frame would register against the map with no error)."""
+    good = tmp_path / "a.bin"
+    _write_kitti_bin(good, np.random.rand(50, 3).astype(np.float32))
+    missing = tmp_path / "missing.bin"  # never created
+    good2 = tmp_path / "c.bin"
+    _write_kitti_bin(good2, np.random.rand(30, 3).astype(np.float32))
+
+    pre = native.ScanPrefetcher([str(good), str(missing), str(good2)],
+                                native.FORMAT_F32X4, capacity=1024)
+    assert next(pre).shape == (50, 3)
+    with pytest.raises(IOError, match="missing.bin"):
+        next(pre)
+    assert next(pre).shape == (30, 3)  # sequence continues past the bad file
+    pre.close()
+
+
+def test_prefetcher_close_exhausts_iterator(tmp_path):
+    """Iterating after close() must StopIteration, not restart the sequence
+    through the numpy fallback (round-3 review finding)."""
+    f = tmp_path / "a.bin"
+    _write_kitti_bin(f, np.random.rand(20, 3).astype(np.float32))
+    pre = native.ScanPrefetcher([str(f), str(f)], native.FORMAT_F32X4,
+                                capacity=256)
+    next(pre)
+    pre.close()
+    with pytest.raises(StopIteration):
+        next(pre)
+
+
+def test_truncated_file_native_numpy_parity(tmp_path):
+    """A truncated .bin (partial trailing record) decodes to the same floored
+    point set via the native decoder and the numpy fallback (the fallback
+    used to raise on reshape; round-3 review finding)."""
+    pts = np.random.rand(40, 3).astype(np.float32)
+    f = tmp_path / "t.bin"
+    _write_kitti_bin(f, pts)
+    raw = f.read_bytes()
+    f.write_bytes(raw[:-7])  # chop mid-record
+
+    nat = native.read_scan(str(f), native.FORMAT_F32X4, capacity=1024)
+    fall = native._numpy_decode(str(f), native.FORMAT_F32X4, 1024)
+    assert nat.shape == fall.shape == (39, 3)
+    np.testing.assert_array_equal(nat, fall)
+
+
+def test_destroy_while_blocked_does_not_hang(tmp_path):
+    """close() with workers parked on a full ring must not deadlock on the
+    lost-wakeup race (stop now flips under the mutex)."""
+    files = []
+    for i in range(32):
+        f = tmp_path / f"{i}.bin"
+        _write_kitti_bin(f, np.random.rand(10, 3).astype(np.float32))
+        files.append(str(f))
+    for _ in range(50):  # hammer create/park/destroy
+        pre = native.ScanPrefetcher(files, native.FORMAT_F32X4,
+                                    capacity=256, depth=2, threads=4)
+        next(pre)  # ensure the pipeline is flowing before teardown
+        pre.close()
