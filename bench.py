@@ -122,7 +122,9 @@ def _scans(cfg, n_frames):
     retry) reuses one cache file. Only gt_poses of the dataset object is
     needed downstream, so the cache stores arrays, not the world."""
     cap = cfg.engine.max_points_per_frame
-    cache = f"/tmp/kiss_bench_scans_v1_seq0_{n_frames}f_{cap}cap.npz"
+    # v2: the synthetic drive changed (suspension heave reaching the scans +
+    # distance-culled raycast; round-3 review fixes) — v1 caches are stale.
+    cache = f"/tmp/kiss_bench_scans_v2_seq0_{n_frames}f_{cap}cap.npz"
     if os.path.exists(cache):
         try:
             with np.load(cache) as d:

@@ -19,12 +19,28 @@ ENV_PREFIX = "kiss_icp_tpu_"
 
 
 def _env_source() -> Dict[str, Any]:
+    import dataclasses as _dc
+    import warnings
+
+    # Only ingest env vars that name a real top-level config key: the env
+    # namespace is shared with unrelated variables (the console scripts
+    # themselves are named kiss_icp_tpu_*; a stray `export kiss_icp_tpu_x=1`
+    # must not crash every load_config() call — pydantic-settings in the
+    # reference likewise ignores undeclared keys).
+    known = {f.name for f in _dc.fields(KISSConfig)}
     values: Dict[str, Any] = {}
     for key, raw in os.environ.items():
         lowered = key.lower()
         if not lowered.startswith(ENV_PREFIX):
             continue
         name = lowered[len(ENV_PREFIX):]
+        if name not in known:
+            warnings.warn(
+                f"ignoring environment variable {key}: '{name}' is not a "
+                f"config section ({sorted(known)})",
+                stacklevel=2,
+            )
+            continue
         try:
             values[name] = json.loads(raw)
         except (json.JSONDecodeError, ValueError):

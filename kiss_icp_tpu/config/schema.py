@@ -140,13 +140,46 @@ class KISSConfig:
 
 
 def _update_dataclass(obj: Any, values: Dict[str, Any], path: str = "") -> None:
+    field_names = {f.name for f in dataclasses.fields(obj)}
     for key, val in values.items():
-        if not hasattr(obj, key):
+        # Real fields only: `hasattr` also matched read-only properties
+        # (e.g. engine.map_capacity), which then failed with an opaque
+        # "can't set attribute" instead of naming the unknown key.
+        if key not in field_names:
             raise ValueError(f"Unknown config key: {path}{key}")
         cur = getattr(obj, key)
-        if dataclasses.is_dataclass(cur) and isinstance(val, dict):
+        if dataclasses.is_dataclass(cur):
+            if not isinstance(val, dict):
+                raise ValueError(
+                    f"Config section '{path}{key}' must be a mapping, got "
+                    f"{type(val).__name__} ({val!r})"
+                )
             _update_dataclass(cur, val, path=f"{path}{key}.")
         else:
+            # Coerce to the current value's scalar type: YAML/env sources
+            # deliver strings/ints where the schema holds floats/bools (the
+            # reference's pydantic loader coerced; an uncoerced "100" max_range
+            # would crash far away inside jitted code).
+            if cur is not None and val is not None \
+                    and not isinstance(val, type(cur)):
+                try:
+                    if isinstance(cur, bool):
+                        if isinstance(val, str):
+                            val = val.strip().lower() in ("1", "true", "yes",
+                                                          "on")
+                        else:
+                            val = bool(val)
+                    elif isinstance(cur, int):
+                        val = int(val)
+                    elif isinstance(cur, float):
+                        val = float(val)
+                    elif isinstance(cur, str):
+                        val = str(val)
+                except (TypeError, ValueError) as e:
+                    raise ValueError(
+                        f"Config key '{path}{key}' expects "
+                        f"{type(cur).__name__}, got {val!r}"
+                    ) from e
             setattr(obj, key, val)
 
 

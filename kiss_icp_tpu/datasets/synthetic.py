@@ -33,6 +33,24 @@ def _se3_log(t):
     if theta < 1e-8:
         w = skew / 2.0
         v_inv = np.eye(3)
+    elif theta > np.pi - 1e-4:
+        # Near pi the skew vector vanishes (sin(theta) -> 0) and the generic
+        # formula loses the axis entirely; recover it from the symmetric
+        # part: R = I + 2 hat(u)^2 at theta = pi, so u^2 from the diagonal
+        # and signs from the off-diagonals.
+        a = np.sqrt(np.maximum(np.diag((r + np.eye(3)) / 2.0), 0.0))
+        # Fix relative signs from the largest component.
+        k = int(np.argmax(a))
+        signs = np.ones(3)
+        for j in range(3):
+            if j != k and a[j] > 1e-8:
+                signs[j] = np.sign((r[k, j] + r[j, k]) / 2.0)
+        u = a * signs
+        u /= max(np.linalg.norm(u), 1e-12)
+        w = theta * u
+        half = theta / 2.0
+        coeff = (1.0 - half * np.cos(half) / np.sin(half)) / (theta * theta)
+        v_inv = np.eye(3) - 0.5 * _hat(w) + coeff * (_hat(w) @ _hat(w))
     else:
         w = theta / (2.0 * np.sin(theta)) * skew
         half = theta / 2.0
@@ -249,6 +267,13 @@ class SyntheticDataset:
         # rings frame to frame (delta_r ~ r^2 * delta_pitch / h ~ 0.5 m at
         # 15 m) — without it, perfectly repeatable rings lock/alias ICP in a
         # way no real dataset does.
+        # Vehicle follows the terrain height FIRST (z is assigned wholesale
+        # from the xy track), THEN the suspension adds its perturbation on
+        # top — the previous order silently overwrote the heave (round-3
+        # review finding), so the cm-level z-excitation the comment above
+        # promises never reached the rendered scans.
+        xy = self.gt_poses[:, :2, 3]
+        self.gt_poses[:, 2, 3] = _terrain_height(xy[:, 0], xy[:, 1])
         ar, state = 0.6, np.zeros(3)  # [pitch, roll, heave]
         for i in range(n_scans):
             vfrac = min(1.0, (i + 1) / max(accel_frames, 1))
@@ -259,11 +284,9 @@ class SyntheticDataset:
             r_roll = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
             self.gt_poses[i, :3, :3] = self.gt_poses[i, :3, :3] @ (r_pitch @ r_roll)
             self.gt_poses[i, 2, 3] += state[2]
-        # Vehicle follows the terrain height. Rendering uses the world-frame
-        # poses; the exposed gt_poses are re-based to the first pose (every
-        # reference loader does the same, e.g. mulran.py:80-81).
-        xy = self.gt_poses[:, :2, 3]
-        self.gt_poses[:, 2, 3] = _terrain_height(xy[:, 0], xy[:, 1])
+        # Rendering uses the world-frame poses; the exposed gt_poses are
+        # re-based to the first pose (every reference loader does the same,
+        # e.g. mulran.py:80-81).
         self._render_poses = self.gt_poses
         self.gt_poses = np.linalg.inv(self._render_poses[0]) @ self._render_poses
 
@@ -301,7 +324,18 @@ class SyntheticDataset:
         t_hit = np.where(ok, np.minimum(t_hit, t_ground), t_hit)
         ground_t = np.where(ok, t_ground, np.inf)
 
+        # Distance-cull the world: only boxes whose AABB comes within
+        # max_range (+ margin for intra-scan origin spread, relief, and
+        # noise tails) of the scan can contribute an ACCEPTED hit
+        # (t < max_range). World size grows with trajectory length, the
+        # visible set does not — this keeps per-frame render cost flat
+        # instead of O(total boxes).
+        o0 = origins[0]
+        reach = self._max_range + 8.0
         for lo, hi in self._boxes:
+            nearest = np.maximum(lo, np.minimum(o0, hi))
+            if np.linalg.norm(nearest - o0) > reach:
+                continue
             with np.errstate(divide="ignore", invalid="ignore"):
                 t1 = (lo[None, :] - origins) / dirs
                 t2 = (hi[None, :] - origins) / dirs

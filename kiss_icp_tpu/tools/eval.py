@@ -39,7 +39,7 @@ def run_sequence(
     pipeline = OdometryPipeline(dataset, config=config, n_scans=n_scans)
     seq_results = pipeline.run()
     results[str(sequence)] = {
-        "metrics": seq_results.as_dict(),
+        "metrics": seq_results.as_dict_with_units(),
         "poses": pipeline.poses,
         "gt_poses": pipeline.gt_poses,
     }

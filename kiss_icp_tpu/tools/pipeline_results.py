@@ -55,3 +55,11 @@ class PipelineResults:
 
     def as_dict(self) -> dict:
         return {m.desc: m.value for m in self.metrics}
+
+    def as_dict_with_units(self) -> dict:
+        """{ 'desc [units]': value } — for tables whose header must carry
+        the unit (a bare 'Average Runtime' column is ambiguous in scale)."""
+        return {
+            (f"{m.desc} [{m.units}]" if m.units else m.desc): m.value
+            for m in self.metrics
+        }

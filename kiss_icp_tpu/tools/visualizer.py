@@ -80,7 +80,10 @@ class Kissualizer(StubVisualizer):
             cloud.set_enabled(view.enabled)
         self._sync_trajectory()
 
-        st.run_blocking_ticks(ps.frame_tick)
+        st.run_blocking_ticks(
+            ps.frame_tick,
+            window_closed=getattr(ps, "window_requests_close", None),
+        )
         if st.quit_requested:
             ps.unshow()
             raise SystemExit(0)
@@ -90,12 +93,21 @@ class Kissualizer(StubVisualizer):
 
         ps, st = self._ps, self.state
         if st.show_trajectory and len(st.trajectory):
-            traj = ps.register_point_cloud(
-                "trajectory", st.trajectory_points(), color=vs.TRAJECTORY_COLOR
-            )
-            traj.set_radius(0.3, relative=False)
+            # Re-upload only when something changed: _apply_view runs on
+            # every GUI tick, and while paused that would re-register the
+            # whole (N, 3) trajectory cloud each rendered frame for zero
+            # visual change.
+            sig = (len(st.trajectory), True)
+            if getattr(self, "_traj_sig", None) != sig:
+                traj = ps.register_point_cloud(
+                    "trajectory", st.trajectory_points(),
+                    color=vs.TRAJECTORY_COLOR,
+                )
+                traj.set_radius(0.3, relative=False)
+                self._traj_sig = sig
         elif ps.has_point_cloud("trajectory"):
             ps.remove_point_cloud("trajectory")
+            self._traj_sig = None
 
     def _apply_view(self):
         """Push the state's per-cloud transforms/sizes onto live structures."""
@@ -116,17 +128,22 @@ class Kissualizer(StubVisualizer):
     def _gui_callback(self):
         gui, st = self._gui, self.state
 
+        # Shortcuts must not fire while a text widget has focus (typing 'q'
+        # into the background-color hex field would otherwise QUIT mid-run).
+        def key(k):
+            return (not gui.GetIO().WantTextInput) and gui.IsKeyPressed(k)
+
         # Play / pause / step / screenshot row.
-        if gui.Button("PAUSE" if st.play_mode else "PLAY") or gui.IsKeyPressed(
+        if gui.Button("PAUSE" if st.play_mode else "PLAY") or key(
             gui.ImGuiKey_Space
         ):
             st.toggle_play()
         if not st.play_mode:
             gui.SameLine()
-            if gui.Button("STEP") or gui.IsKeyPressed(gui.ImGuiKey_N):
+            if gui.Button("STEP") or key(gui.ImGuiKey_N):
                 st.request_step()
         gui.SameLine()
-        if gui.Button("SCREENSHOT") or gui.IsKeyPressed(gui.ImGuiKey_S):
+        if gui.Button("SCREENSHOT") or key(gui.ImGuiKey_S):
             self._ps.screenshot(st.screenshot_filename())
         gui.Separator()
 
@@ -162,25 +179,28 @@ class Kissualizer(StubVisualizer):
 
         # View controls.
         if gui.Button("LOCAL VIEW" if st.global_view else "GLOBAL VIEW") or (
-            gui.IsKeyPressed(gui.ImGuiKey_G)
+            key(gui.ImGuiKey_G)
         ):
             st.toggle_global_view()
             self._ps.reset_camera_to_home_view()
         gui.SameLine()
-        if gui.Button("CENTER") or gui.IsKeyPressed(gui.ImGuiKey_C):
+        if gui.Button("CENTER") or key(gui.ImGuiKey_C):
             self._ps.reset_camera_to_home_view()
         gui.Separator()
         if (
             gui.Button("QUIT")
-            or gui.IsKeyPressed(gui.ImGuiKey_Q)
-            or gui.IsKeyPressed(gui.ImGuiKey_Escape)
+            or key(gui.ImGuiKey_Q)
+            or key(gui.ImGuiKey_Escape)
         ):
             st.request_quit()
 
-        # Trajectory pose picking (only meaningful in global view).
-        if gui.GetIO().MouseClicked[0]:
+        # Trajectory pose picking (only meaningful in global view). Clicks
+        # the GUI itself consumes (buttons, sliders) must not clear the
+        # selection — only scene clicks count.
+        if gui.GetIO().MouseClicked[0] and not gui.GetIO().WantCaptureMouse:
             pick = self._ps.get_selection()
-            if pick.structure_name == "trajectory":
+            if getattr(pick, "is_hit", True) and \
+                    pick.structure_name == "trajectory":
                 st.pick_trajectory_pose(int(pick.structure_data["index"]))
             else:
                 st.selected_pose = ""

@@ -125,12 +125,15 @@ class VisualizerState:
         return "kiss_icp_tpu_" + now.strftime("%Y-%m-%d_%H-%M-%S") + ".jpg"
 
     # --- blocking-tick loop ----------------------------------------------
-    def run_blocking_ticks(self, tick) -> None:
+    def run_blocking_ticks(self, tick, window_closed=None) -> None:
         """Drive the GUI event loop until the pipeline may advance one frame.
 
         `tick()` renders one GUI frame (polyscope frame_tick). Returns
         immediately in play mode; while paused, loops until `request_step`,
-        `toggle_play`, or `request_quit` is triggered from inside a tick.
+        `toggle_play`, or `request_quit` is triggered from inside a tick —
+        or `window_closed()` reports the user closed the OS window (the
+        title-bar X fires no ImGui callback, so without this check a paused
+        session would spin forever on a close-requested window).
         """
         if self.play_mode:
             tick()
@@ -138,3 +141,5 @@ class VisualizerState:
         self._step_requested = False
         while not (self.play_mode or self._step_requested or self.quit_requested):
             tick()
+            if window_closed is not None and window_closed():
+                self.request_quit()

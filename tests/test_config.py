@@ -76,3 +76,44 @@ def test_write_config_roundtrip(tmp_path):
     write_config(cfg, out)
     cfg2 = load_config(out)
     assert config_to_dict(cfg2) == config_to_dict(cfg)
+
+
+def test_unknown_env_var_is_ignored_with_warning(monkeypatch):
+    """A stray kiss_icp_tpu_* env var (e.g. a shell exporting the console
+    script name) must not crash every load_config() call (round-3 review
+    finding); the reference's pydantic-settings ignores undeclared keys."""
+    import warnings
+
+    from kiss_icp_tpu.config.parser import load_config
+
+    monkeypatch.setenv("kiss_icp_tpu_pipeline", "/usr/bin/thing")
+    monkeypatch.setenv("kiss_icp_tpu_data", '{"max_range": 42.0}')
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg = load_config(None)
+    assert cfg.data.max_range == 42.0  # the valid one applied
+    assert any("kiss_icp_tpu_pipeline" in str(x.message) for x in w)
+
+
+def test_config_type_coercion_and_section_guard(tmp_path):
+    """YAML string numbers coerce to the schema's types; a scalar where a
+    section is expected and read-only properties fail with clear messages
+    (round-3 review finding: '100' max_range crashed far away in jit,
+    engine.map_capacity died with \"can't set attribute\")."""
+    import pytest as _pytest
+
+    from kiss_icp_tpu.config.parser import load_config
+    from kiss_icp_tpu.config.schema import config_from_dict
+
+    y = tmp_path / "c.yaml"
+    y.write_text('data:\n  max_range: "75"\n  deskew: "false"\n')
+    cfg = load_config(y)
+    assert cfg.data.max_range == 75.0 and isinstance(cfg.data.max_range, float)
+    assert cfg.data.deskew is False
+
+    with _pytest.raises(ValueError, match="must be a mapping"):
+        config_from_dict({"data": 75})
+    with _pytest.raises(ValueError, match="Unknown config key"):
+        config_from_dict({"engine": {"map_capacity": 1024}})
+    with _pytest.raises(ValueError, match="expects"):
+        config_from_dict({"data": {"max_range": "not-a-number"}})
