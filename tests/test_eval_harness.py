@@ -34,7 +34,7 @@ def test_run_sequence_and_table(tmp_path):
     assert set(results) == {"0", "1"}
     for r in results.values():
         assert r["poses"].shape == (4, 4, 4)
-        assert "Average Frequency" in r["metrics"]
+        assert "Average Frequency [Hz]" in r["metrics"]
 
     table = print_metrics_table(results)
     assert table.startswith("| Sequence |")
