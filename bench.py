@@ -383,6 +383,7 @@ def child_soak() -> dict:
     measures a YOUNG map; which strategy wins can flip at full occupancy,
     where live candidate rows per gather are several times denser)."""
     import jax
+    from kiss_icp_tpu import metrics
     from kiss_icp_tpu.odometry import init_state, make_chunked_step
 
     cfg = _config(
@@ -390,7 +391,7 @@ def child_soak() -> dict:
         map_storage=os.environ.get("KISS_BENCH_SOAK_STORAGE", "f32"),
     )
     n_total, k = 240, 24
-    _, pts, ts, valid = _scans(cfg, n_total)
+    ds, pts, ts, valid = _scans(cfg, n_total)
     chunk = make_chunked_step(cfg)
 
     log("compiling soak...")
@@ -440,7 +441,23 @@ def child_soak() -> dict:
     sigmas = np.asarray(summaries[-1].sigmas)
     log(f"soak steady-state fps={steady:.1f} map_points={fill} "
         f"dropped={drops} sigma_final={sigmas[-1]:.3f}")
-    return {**partial, "map_points": fill, "dropped": drops}
+    # Long-drive accuracy vs the synthetic ground truth: ATE over all 240
+    # frames plus the KITTI segment metric (Metrics.cpp:141-156 protocol)
+    # where the ~240 m drive yields valid 100/200 m segments. This is the
+    # driver-captured long-horizon accuracy artifact (VERDICT r2 next #2);
+    # the committed-golden f32-vs-f64 bound lives in tests/test_long_horizon.
+    est = np.concatenate([np.asarray(s.poses) for s in summaries], axis=0)
+    gt = np.asarray(ds.gt_poses[:n_total], np.float64)
+    ate_rot, ate_trans = metrics.absolute_trajectory_error(gt, est)
+    seg_t, seg_r = metrics.sequence_error(gt, est)
+    log(f"soak accuracy: ATE_trans={ate_trans:.3f} m ATE_rot={ate_rot:.4f} "
+        f"rad kitti_seg={seg_t:.3f}%/{seg_r:.5f}deg/m "
+        f"finite={np.all(np.isfinite(est))}")
+    out = {**partial, "map_points": fill, "dropped": drops,
+           "ate_trans": round(float(ate_trans), 4)}
+    if seg_t > 0.0:  # seq_error returns exact 0.0 iff no valid segment
+        out["kitti_seg_pct"] = round(float(seg_t), 4)
+    return out
 
 
 def child_streaming() -> dict:
@@ -555,6 +572,13 @@ def _parsed_line(headline, soak=None, batched=None) -> dict:
         "steady_state_fps": soak.get("steady_fps") if soak else None,
         "batched_seq_fps": batched.get("seq_fps") if batched else None,
     }
+    if soak and soak.get("ate_trans") is not None:
+        # Long-drive (240-frame, full-map) accuracy vs synthetic GT, so the
+        # driver-captured artifact carries an accuracy number at horizon,
+        # not just the 14-frame headline's.
+        out["soak_ate_trans_m"] = soak["ate_trans"]
+        if soak.get("kitti_seg_pct") is not None:
+            out["soak_kitti_seg_pct"] = soak["kitti_seg_pct"]
     return out
 
 
