@@ -52,6 +52,20 @@ def seq_error(gt_poses: np.ndarray, poses: np.ndarray) -> Tuple[float, float]:
 
     Mirrors SeqError/CalcSequenceErrors (Metrics.cpp:75-156).
     """
+    avg_t, avg_r, _ = seq_error_stats(gt_poses, poses)
+    return avg_t, avg_r
+
+
+def seq_error_stats(
+    gt_poses: np.ndarray, poses: np.ndarray
+) -> Tuple[float, float, int]:
+    """`seq_error` plus the number of valid segments evaluated.
+
+    The two-tuple API returns exact 0.0 both when the drive is too short for
+    any 100 m segment AND when the estimate is perfect over valid segments —
+    consumers that must distinguish "no evidence" from "zero error" (e.g. the
+    bench artifact) use the segment count as the explicit validity signal.
+    """
     gt_poses = np.asarray(gt_poses, np.float64)
     poses = np.asarray(poses, np.float64)
     assert gt_poses.shape == poses.shape, (gt_poses.shape, poses.shape)
@@ -71,10 +85,10 @@ def seq_error(gt_poses: np.ndarray, poses: np.ndarray) -> Tuple[float, float]:
             t_errs.append(float(np.linalg.norm(error[:3, 3])) / length)
             r_errs.append(_rotation_error(error) / length)
     if not t_errs:
-        return 0.0, 0.0
+        return 0.0, 0.0, 0
     avg_t = 100.0 * float(np.mean(t_errs))  # percent
     avg_r = float(np.mean(r_errs)) * 180.0 / np.pi  # deg per meter
-    return avg_t, avg_r
+    return avg_t, avg_r, len(t_errs)
 
 
 def _umeyama_alignment(x: np.ndarray, y: np.ndarray) -> np.ndarray:

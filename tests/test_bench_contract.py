@@ -42,10 +42,40 @@ def test_parsed_line_carries_soak_accuracy():
 
 def test_parsed_line_soak_without_segments():
     # A soak whose drive was too short for a valid 100 m KITTI segment omits
-    # kitti_seg_pct (seq_error returns exact 0.0 in that case) but still
-    # carries the ATE.
+    # kitti_seg_pct (the soak child gates on the segment COUNT, not the 0.0
+    # sentinel — ADVICE r3) but still carries the ATE.
     soak = {"mode": "soak", "steady_fps": 900.0, "ate_trans": 0.05}
     line = bench._parsed_line({"mode": "chunked", "fps": 1500.0,
                                "median_fps": 1300.0}, soak)
     assert line["soak_ate_trans_m"] == 0.05
     assert "soak_kitti_seg_pct" not in line
+
+
+def test_parsed_line_enriched_fields():
+    # Round-4 additions: rotational accuracy halves, segment count, the
+    # roofline field, and the AOT serving fps (VERDICT r3 next #5/#8).
+    soak = {"mode": "soak", "steady_fps": 1100.0, "ate_trans": 0.31,
+            "ate_rot": 0.011, "kitti_seg_pct": 0.42,
+            "kitti_seg_deg_per_m": 0.0059, "n_segments": 17,
+            "hbm_utilization_pct": 87.5}
+    aot = {"mode": "aot", "aot_fps": 1333.0}
+    line = bench._parsed_line({"mode": "chunked", "fps": 1500.0,
+                               "median_fps": 1300.0}, soak, None, aot)
+    assert line["soak_ate_rot_rad"] == 0.011
+    assert line["soak_kitti_seg_deg_per_m"] == 0.0059
+    assert line["soak_n_segments"] == 17
+    assert line["hbm_utilization_pct"] == 87.5
+    assert line["aot_fps"] == 1333.0
+    json.dumps(line)
+
+
+def test_assoc_bytes_model():
+    # The roofline byte model is a pure function of the static config: f32
+    # rows are 12 B/point, u16 rows 6 B/point; every (source point x 27
+    # neighbors) fetches the P-point slab + K-slot probe window + count word.
+    cfg = bench._config(map_storage="f32", probe_length=16)
+    n, p, k = (cfg.engine.source_capacity, cfg.mapping.max_points_per_voxel,
+               cfg.engine.probe_length)
+    assert bench.assoc_bytes_per_iteration(cfg) == n * 27 * (p * 12 + k * 4 + 4)
+    cfg16 = bench._config(map_storage="u16", probe_length=8)
+    assert bench.assoc_bytes_per_iteration(cfg16) == n * 27 * (p * 6 + 8 * 4 + 4)
