@@ -130,28 +130,28 @@ class Kissualizer(StubVisualizer):
 
         # Shortcuts must not fire while a text widget has focus (typing 'q'
         # into the background-color hex field would otherwise QUIT mid-run).
-        def key(k):
+        def pressed(k):
             return (not gui.GetIO().WantTextInput) and gui.IsKeyPressed(k)
 
         # Play / pause / step / screenshot row.
-        if gui.Button("PAUSE" if st.play_mode else "PLAY") or key(
+        if gui.Button("PAUSE" if st.play_mode else "PLAY") or pressed(
             gui.ImGuiKey_Space
         ):
             st.toggle_play()
         if not st.play_mode:
             gui.SameLine()
-            if gui.Button("STEP") or key(gui.ImGuiKey_N):
+            if gui.Button("STEP") or pressed(gui.ImGuiKey_N):
                 st.request_step()
         gui.SameLine()
-        if gui.Button("SCREENSHOT") or key(gui.ImGuiKey_S):
+        if gui.Button("SCREENSHOT") or pressed(gui.ImGuiKey_S):
             self._ps.screenshot(st.screenshot_filename())
         gui.Separator()
 
         # Odometry info panel.
         if gui.TreeNodeEx("Odometry Information",
                           gui.ImGuiTreeNodeFlags_DefaultOpen):
-            for key, value in st.vis_infos.items():
-                gui.TextUnformatted(f"{key}: {value}")
+            for label, value in st.vis_infos.items():
+                gui.TextUnformatted(f"{label}: {value}")
             if not st.play_mode and st.global_view and st.selected_pose:
                 gui.TextUnformatted(f"Selected Pose: {st.selected_pose}")
             gui.TreePop()
@@ -179,18 +179,18 @@ class Kissualizer(StubVisualizer):
 
         # View controls.
         if gui.Button("LOCAL VIEW" if st.global_view else "GLOBAL VIEW") or (
-            key(gui.ImGuiKey_G)
+            pressed(gui.ImGuiKey_G)
         ):
             st.toggle_global_view()
             self._ps.reset_camera_to_home_view()
         gui.SameLine()
-        if gui.Button("CENTER") or key(gui.ImGuiKey_C):
+        if gui.Button("CENTER") or pressed(gui.ImGuiKey_C):
             self._ps.reset_camera_to_home_view()
         gui.Separator()
         if (
             gui.Button("QUIT")
-            or key(gui.ImGuiKey_Q)
-            or key(gui.ImGuiKey_Escape)
+            or pressed(gui.ImGuiKey_Q)
+            or pressed(gui.ImGuiKey_Escape)
         ):
             st.request_quit()
 
