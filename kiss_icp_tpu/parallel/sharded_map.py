@@ -407,3 +407,39 @@ def shard_live_voxels(state: ShardedMapState, n_shards: int) -> jnp.ndarray:
     """(D,) live-voxel count per shard (diagnostics / load-balance checks)."""
     live = (state.counts > 0).astype(jnp.int32)
     return jnp.sum(live.reshape(n_shards, -1), axis=1)
+
+
+# --------------------------------------------------------------------------
+# Static communication model (VERDICT r3 next #7). The per-iteration
+# collective traffic of the map-sharded GN loop is a pure function of the
+# config and the shard count — asserting it in tests (against the lowered
+# program) and publishing it in docs/SCALING.md turns the multi-chip scaling
+# target into an analytic claim a real pod run can confirm or refute.
+# --------------------------------------------------------------------------
+
+def ring_payload_bytes(config: KISSConfig, n_shards: int) -> int:
+    """ICI bytes EACH device sends per GN iteration for the NN ring combine.
+
+    `_ring_min_combine` rotates three arrays one hop per step for D-1 steps:
+    the squared distances (S,) f32, the neighbor points (S, 3) f32, and the
+    tie-break shard ids (S,) i32 — 20 bytes per source-capacity row per hop.
+    The psum'd normal equations (6x6 + 6 + 1 f32, `reduce_fn`) add ~172 B —
+    latency-bound, not bandwidth-bound — and are excluded.
+    """
+    s = int(config.engine.source_capacity)
+    return (n_shards - 1) * s * (4 + 12 + 4)
+
+
+def ring_collective_permutes_per_gn_iteration(n_shards: int) -> int:
+    """collective-permute ops executed per GN iteration per device: three
+    arrays x (D-1) hops. The trace unrolls the hop loop, so this is also the
+    static op count inside the while body."""
+    return 3 * (n_shards - 1)
+
+
+def expected_collective_permutes(n_shards: int) -> int:
+    """Total collective-permute ops in the lowered single-frame program:
+    3(D-1) inside the GN while body + 2(D-1) in the post-loop diagnostic
+    correspondence count (its ring's neighbor payload is unused, so those
+    D-1 permutes are dead-code-eliminated at trace time)."""
+    return 5 * (n_shards - 1)
