@@ -112,11 +112,35 @@ class EngineConfig:
     # is sized at live_capacity * 4, load factor 0.25, so 8 suffices).
     nn_probe_length: int = 8
     # Frames advanced per device execution by the pipeline driver (lax.scan
-    # chunking). 1 = streaming (one execution per frame, per-frame host
-    # latency); larger values keep the odometry state on-device across the
-    # chunk, which is how production deployments should run: per-execution
-    # host overhead is amortized chunk-fold. Only used headless.
-    pipeline_chunk: int = 1
+    # chunking). 0 = auto (the default): headless runs pick a production
+    # chunk (16, clamped to the sequence length) and get the software-
+    # pipelined chunked driver; a live visualizer forces per-frame mode
+    # (it must see every frame's clouds). 1 = force streaming (one
+    # execution per frame, per-frame host latency — the ROS/latency shape);
+    # >1 = explicit chunk. Chunking keeps the odometry state on-device
+    # across the chunk, amortizing per-execution host overhead chunk-fold;
+    # the reference's whole-loop driver (python/kiss_icp/pipeline.py:97-113)
+    # has no such knob because its per-frame host cost is just C++ call
+    # overhead.
+    pipeline_chunk: int = 0
+    # Deskew-refinement passes (0 = reference semantics). Each pass
+    # re-deskews the RAW scan with the motion ICP just estimated (instead of
+    # the constant-velocity prediction the first pass used), re-downsamples,
+    # and re-registers from the already-converged pose — removing the
+    # prediction residual from both the pose estimate and the points that
+    # feed the map. Costs roughly one extra preprocess+downsample and a
+    # short ICP per pass; with deskew off or no per-point stamps it
+    # converges in O(1) extra iterations (harmless no-op). Single-device and
+    # chunked engines only; the sharded/pod engines ignore it.
+    # MEASURED (tools/error_budget.py, 240-frame bench drive): re-registering
+    # the re-deskewed cloud feeds estimate noise back through the deskew warp
+    # and DEGRADES the KITTI segment error (0.75% vs 0.53% baseline) — keep 0
+    # unless your sensor's motion is grossly non-constant within a scan.
+    deskew_refine: int = 0
+    # Damped variant: re-deskew only the MAP-UPDATE cloud with the estimated
+    # delta (the pose estimate is untouched; refined points reach future
+    # frames through the voxel slabs). One extra deskew+downsample per frame.
+    deskew_refine_map: bool = False
     # Shard the voxel map's slots over this many devices (power of two).
     # 1 = replicated map (single-device path). >1 selects the map-sharded
     # engine (parallel/sharded_map.py): per-device map memory drops by the

@@ -108,52 +108,56 @@ def register_frame(
     mcfg = map_config(config)
     vsize = float(config.mapping.voxel_size)
 
-    # 1. Motion-compensate with the constant-velocity model, crop range.
-    prep = preprocess.preprocess(
-        points,
-        timestamps,
-        valid,
-        state.delta,
-        max_range=float(config.data.max_range),
-        min_range=float(config.data.min_range),
-        deskew=bool(config.data.deskew),
-    )
+    def deskew_register(deskew_delta, guess):
+        """Steps 1-5 for one deskew hypothesis: motion-compensate the raw
+        scan with `deskew_delta`, crop, double-downsample (KissICP.cpp:70-75),
+        and register the source against the map from `guess`."""
+        prep = preprocess.preprocess(
+            points,
+            timestamps,
+            valid,
+            deskew_delta,
+            max_range=float(config.data.max_range),
+            min_range=float(config.data.min_range),
+            deskew=bool(config.data.deskew),
+        )
+        frame_ds = voxel.voxel_downsample(
+            prep.points, prep.valid, voxel_size=vsize * 0.5,
+            capacity=int(config.engine.frame_capacity),
+        )
+        source = voxel.voxel_downsample(
+            frame_ds.points, frame_ds.valid, voxel_size=vsize * 1.5,
+            capacity=int(config.engine.source_capacity),
+        )
+        align = registration.align_points_to_map(
+            mcfg,
+            state.map,
+            source.points,
+            source.valid,
+            guess,
+            3.0 * sigma,
+            sigma,
+            max_iterations=int(config.registration.max_num_iterations),
+            convergence=float(config.registration.convergence_criterion),
+            use_pallas=resolve_use_pallas(config),
+            nn_mode=str(config.engine.nn_mode),
+            nn_live_capacity_log2=int(config.engine.nn_live_capacity_log2),
+            nn_probe_length=int(config.engine.nn_probe_length),
+            assoc_cache_size=int(config.engine.assoc_cache_size),
+            assoc_refresh_dist=(
+                float(config.engine.assoc_refresh_dist)
+                if float(config.engine.assoc_refresh_dist) > 0
+                else 0.25 * vsize
+            ),
+        )
+        return prep, frame_ds, source, align
 
-    # 2. Double voxel downsample (KissICP.cpp:70-75): half-voxel grid for the
-    #    map-update cloud, 1.5x grid for the ICP source.
-    frame_ds = voxel.voxel_downsample(
-        prep.points, prep.valid, voxel_size=vsize * 0.5,
-        capacity=int(config.engine.frame_capacity),
-    )
-    source = voxel.voxel_downsample(
-        frame_ds.points, frame_ds.valid, voxel_size=vsize * 1.5,
-        capacity=int(config.engine.source_capacity),
-    )
-
-    # 3.-5. Adaptive threshold, constant-velocity initial guess, robust ICP.
+    # 1.-5. Deskew with the constant-velocity model, crop, double voxel
+    #    downsample, adaptive threshold, robust ICP from the constant-
+    #    velocity initial guess.
     sigma = _sigma_for_frame(config, state)
     initial_guess = state.pose @ state.delta
-    align = registration.align_points_to_map(
-        mcfg,
-        state.map,
-        source.points,
-        source.valid,
-        initial_guess,
-        3.0 * sigma,
-        sigma,
-        max_iterations=int(config.registration.max_num_iterations),
-        convergence=float(config.registration.convergence_criterion),
-        use_pallas=resolve_use_pallas(config),
-        nn_mode=str(config.engine.nn_mode),
-        nn_live_capacity_log2=int(config.engine.nn_live_capacity_log2),
-        nn_probe_length=int(config.engine.nn_probe_length),
-        assoc_cache_size=int(config.engine.assoc_cache_size),
-        assoc_refresh_dist=(
-            float(config.engine.assoc_refresh_dist)
-            if float(config.engine.assoc_refresh_dist) > 0
-            else 0.25 * vsize
-        ),
-    )
+    prep, frame_ds, source, align = deskew_register(state.delta, initial_guess)
     # Degraded-mode guard (no reference analog — its f64 merely postpones the
     # blow-up): if registration ever yields a non-finite pose, fall back to
     # the constant-velocity prediction for this frame. The pose stream stays
@@ -164,6 +168,51 @@ def register_frame(
     # every composition; f32 matrix drift otherwise compounds across frames
     # (see se3.orthonormalize).
     new_pose = se3.orthonormalize(new_pose)
+    total_iterations = align.num_iterations
+
+    # 5b. Optional deskew refinement (engine.deskew_refine passes; no
+    #    reference analog — Preprocessing.cpp:68-80 deskews once with the
+    #    PREDICTED motion and registers that cloud as-is). The first pass
+    #    deskewed with last frame's delta; once ICP has estimated THIS
+    #    frame's motion, re-deskewing the raw scan with the estimated delta
+    #    removes the prediction residual (prediction error x stamp, up to
+    #    centimeters at range under real attitude dynamics), and a short
+    #    re-registration from the already-converged pose re-solves on the
+    #    better-shaped cloud. The refined frame also feeds the map update,
+    #    so the correction compounds across frames. No-op contract: with
+    #    deskew off or empty stamps the re-run sees identical inputs and
+    #    exits in O(1) iterations.
+    for _ in range(max(0, int(config.engine.deskew_refine))):
+        delta_est = se3.inverse(state.pose) @ new_pose
+        prep, frame_ds, source, align = deskew_register(delta_est, new_pose)
+        refine_finite = jnp.all(jnp.isfinite(align.pose))
+        pose_finite = pose_finite & refine_finite
+        new_pose = se3.orthonormalize(
+            jnp.where(refine_finite, align.pose, new_pose))
+        total_iterations = total_iterations + align.num_iterations
+
+    # 5c. Optional map-only deskew refinement (engine.deskew_refine_map):
+    #    re-deskew the raw scan with the ESTIMATED delta and rebuild only the
+    #    map-update cloud from it — the pose estimate is untouched (measured:
+    #    feeding the re-registered pose back amplifies per-frame estimate
+    #    noise through the deskew warp — the `refine_1` error-budget cell —
+    #    whereas the map path is damped: refined points only influence
+    #    FUTURE frames through the 20-point voxel slabs).
+    if bool(config.engine.deskew_refine_map):
+        delta_est = se3.inverse(state.pose) @ new_pose
+        prep = preprocess.preprocess(
+            points,
+            timestamps,
+            valid,
+            delta_est,
+            max_range=float(config.data.max_range),
+            min_range=float(config.data.min_range),
+            deskew=bool(config.data.deskew),
+        )
+        frame_ds = voxel.voxel_downsample(
+            prep.points, prep.valid, voxel_size=vsize * 0.5,
+            capacity=int(config.engine.frame_capacity),
+        )
 
     # 6.-7. Model deviation feeds the threshold estimator.
     model_deviation = se3.inverse(initial_guess) @ new_pose
@@ -196,7 +245,7 @@ def register_frame(
         source_points=source.points,
         source_valid=source.valid,
         sigma=sigma,
-        num_iterations=align.num_iterations,
+        num_iterations=total_iterations,
         num_correspondences=align.num_correspondences,
         num_dropped_downsample=frame_ds.num_dropped + source.num_dropped,
         num_dropped_map_voxels=(insert_stats.num_dropped_voxels
