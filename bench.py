@@ -114,10 +114,15 @@ def _publish_partial(result: dict) -> None:
 
 
 def _config(use_pallas="auto", map_storage="f32", probe_length=16,
-            nn_mode="gather27", subsalt=0):
+            nn_mode="gather27", subsalt=0, max_range=None):
     from kiss_icp_tpu.config.parser import load_config
 
     cfg = load_config(None)  # reference defaults: 100 m range, 1 m voxels
+    if max_range is not None:
+        # Per-deployment range crop (the reference tunes max_range per
+        # dataset the same way, e.g. MulRan at 120 m). voxel_size stays at
+        # the 100 m-derived 1.0 m so the map geometry is unchanged.
+        cfg.data.max_range = float(max_range)
     cfg.data.min_range = 1.0
     cfg.engine.map_storage = map_storage
     cfg.engine.probe_length = probe_length
@@ -449,9 +454,17 @@ def child_soak() -> dict:
     from kiss_icp_tpu.odometry import init_state, make_chunked_step
 
     nn = os.environ.get("KISS_BENCH_SOAK_NN", "gather27")
-    storage = os.environ.get("KISS_BENCH_SOAK_STORAGE", "f32")
+    # Round-4 soak configuration, picked by the accuracy error budget
+    # (tools/error_budget.py, BASELINE.md round 4): u16 guard-banded storage
+    # + 70 m range crop measure 0.380 % KITTI-seg on this drive vs 0.530 %
+    # for round 3's f32/100 m (u16 alone: 0.471; range alone: 0.418), with
+    # steady-state throughput tied within the tunnel band and half the
+    # hot-loop bytes. The previous config remains reachable via
+    # KISS_BENCH_SOAK_STORAGE=f32 KISS_BENCH_SOAK_RANGE=100.
+    storage = os.environ.get("KISS_BENCH_SOAK_STORAGE", "u16")
+    soak_range = float(os.environ.get("KISS_BENCH_SOAK_RANGE", "70"))
     n_total, k = 240, 24
-    cfg0 = _config(nn_mode=nn, map_storage=storage)
+    cfg0 = _config(nn_mode=nn, map_storage=storage, max_range=soak_range)
     ds, pts, ts, valid = _scans(cfg0, n_total)
 
     deadline = time.monotonic() + float(
@@ -462,7 +475,8 @@ def child_soak() -> dict:
     healthy_steady = 450.0
     best = None  # (steady, chunk_fps, summaries, state, cfg)
     for subsalt in range(6):
-        cfg = _config(nn_mode=nn, map_storage=storage, subsalt=subsalt)
+        cfg = _config(nn_mode=nn, map_storage=storage, subsalt=subsalt,
+                      max_range=soak_range)
         chunk = make_chunked_step(cfg)
         log(f"compiling soak (program {subsalt})...")
         state = init_state(cfg)
@@ -502,7 +516,8 @@ def child_soak() -> dict:
                 _publish_partial({
                     "mode": "soak", "steady_fps": round(steady, 2),
                     "first_chunk_fps": round(chunk_fps[0], 2),
-                    "nn": nn, "storage": storage})
+                    "nn": nn, "storage": storage,
+                    "max_range": soak_range})
             if best[0] >= healthy_steady:
                 break
         if time.monotonic() > deadline - 120.0:
@@ -514,7 +529,7 @@ def child_soak() -> dict:
     timed_total_s = float(np.sum(k / np.asarray(chunk_fps)))
     partial = {"mode": "soak", "steady_fps": round(steady, 2),
                "first_chunk_fps": round(chunk_fps[0], 2),
-               "nn": nn, "storage": storage}
+               "nn": nn, "storage": storage, "max_range": soak_range}
     _publish_partial(partial)
     # Diagnostics (d2h reads) after ALL timing.
     fill = int(np.asarray(state.map.total_points))
