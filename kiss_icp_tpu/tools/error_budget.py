@@ -232,6 +232,11 @@ CELLS = [
                          "data.max_range": 70.0}),
     ("u16_v075", {}, {"engine.map_storage": "u16",
                       "mapping.voxel_size": 0.75}),
+    # Range sweep around the chosen crop (is 70 m a sweet spot or a cliff?).
+    ("u16_range60", {}, {"engine.map_storage": "u16",
+                         "data.max_range": 60.0}),
+    ("u16_range80", {}, {"engine.map_storage": "u16",
+                         "data.max_range": 80.0}),
 ]
 
 
