@@ -131,8 +131,16 @@ def _config(use_pallas="auto", map_storage="f32", probe_length=16,
     cfg.engine.max_points_per_frame = 65536
     # Capacity planning to the scene statistics (like choosing voxel size):
     # these scans occupy ~6k half-meter voxels; 16384 gives 2.7x headroom.
-    cfg.engine.frame_capacity = 16384
-    cfg.engine.source_capacity = 8192
+    # Source occupancy measured by tools/capacity_plan.py is ~1.1-1.3k
+    # 1.5 m voxels, so KISS_BENCH_SRC_CAP=2048 covers it with headroom —
+    # measured statistically TIED with 8192 on every child (the padded
+    # gather rows are cache-resident; see BASELINE.md round-4 capacity
+    # ablation), so the default stays at the sensor-scale 8192 and the
+    # env knobs exist for memory-bound A/Bs.
+    cfg.engine.frame_capacity = int(
+        os.environ.get("KISS_BENCH_FRAME_CAP", "16384"))
+    cfg.engine.source_capacity = int(
+        os.environ.get("KISS_BENCH_SRC_CAP", "8192"))
     cfg.engine.map_capacity_log2 = 19
     cfg.engine.donate_state = True
     cfg.engine.use_pallas = use_pallas
