@@ -110,7 +110,15 @@ def voxel_downsample(
     # would sort among the non-heads and be dropped even with spare capacity.
     h = jnp.where(h == jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFE), h)
     order_key = jnp.where(head, h, jnp.uint32(0xFFFFFFFF))
-    rank = jnp.argsort(jnp.argsort(order_key)).astype(jnp.int32)  # hash rank
+    # Hash rank of every row = inverse of the sort permutation. One
+    # two-key sort (ties broken by row index, so the permutation is the
+    # stable one) plus a unique-index scatter of iota — NOT
+    # argsort(argsort(...)), which lowers to two full sorts of n; sorts
+    # are the dominant non-gather cost of this kernel on TPU.
+    iota = jnp.arange(n, dtype=jnp.int32)
+    _, perm = jax.lax.sort((order_key, iota), num_keys=2)
+    rank = jnp.zeros((n,), jnp.int32).at[perm].set(iota, mode="drop",
+                                                   unique_indices=True)
     out_pos = jnp.where(head & (rank < capacity), rank, capacity)  # capacity = drop slot
 
     src_idx = jnp.full((capacity,), n, dtype=jnp.int32)  # n = gather of padded zero row
