@@ -57,6 +57,33 @@ def pack_voxel_keys(coords: jnp.ndarray, valid: jnp.ndarray) -> Tuple[jnp.ndarra
     return hi.astype(jnp.int32), lo.astype(jnp.int32)
 
 
+def _sort_by_voxel_key(
+    hi: jnp.ndarray, lo: jnp.ndarray, idx: jnp.ndarray, n: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sort rows lexicographically by (hi, lo, idx).
+
+    When row indices fit 17 bits, (lo, idx) packs into ONE u32 minor key
+    (lo <= 15 bits for valid rows), cutting the sort from three keys to
+    two — sorts are the dominant non-gather cost of the voxel kernels on
+    TPU (BASELINE.md round-4 downsample-rank note). Invalid rows have
+    hi = KEY_SENTINEL, the strict maximum of all valid hi keys, so they
+    order after every valid row on the major key alone; their lo
+    (= KEY_SENTINEL) wraps in the u32 shift to 0xFFFE0000 | idx, which
+    still orders them deterministically by original index.
+    """
+    if n <= (1 << 17):
+        packed = (lo.astype(jnp.uint32) << 17) | idx.astype(jnp.uint32)
+        hi_s, packed_s = jax.lax.sort((hi, packed), num_keys=2)
+        lo_s = (packed_s >> 17).astype(jnp.int32)
+        idx_s = (packed_s & jnp.uint32((1 << 17) - 1)).astype(jnp.int32)
+        # Restore the sentinel for invalid rows so callers' head detection
+        # (lo_s equality between neighbors) sees the same values as the
+        # unpacked path.
+        lo_s = jnp.where(hi_s == KEY_SENTINEL, KEY_SENTINEL, lo_s)
+        return hi_s, lo_s, idx_s
+    return jax.lax.sort((hi, lo, idx), num_keys=3)
+
+
 class Downsampled(NamedTuple):
     points: jnp.ndarray  # (M, 3) float32
     valid: jnp.ndarray  # (M,) bool
@@ -82,9 +109,10 @@ def voxel_downsample(
     coords = point_to_voxel(points, voxel_size)
     hi, lo = pack_voxel_keys(coords, valid)
     idx = jnp.arange(n, dtype=jnp.int32)
-    # Three-key sort: (hi, lo) groups voxels, idx breaks ties deterministically
-    # (min original index first) without needing a stable sort.
-    hi_s, lo_s, idx_s = jax.lax.sort((hi, lo, idx), num_keys=3)
+    # (hi, lo) groups voxels, idx breaks ties deterministically (min original
+    # index first) without needing a stable sort; packed two-key form when
+    # indices fit (see _sort_by_voxel_key).
+    hi_s, lo_s, idx_s = _sort_by_voxel_key(hi, lo, idx, n)
 
     valid_s = hi_s != KEY_SENTINEL
     prev_same = jnp.concatenate(
@@ -162,7 +190,7 @@ def group_by_voxel(
     coords = point_to_voxel(points, voxel_size)
     hi, lo = pack_voxel_keys(coords, valid)
     idx = jnp.arange(n, dtype=jnp.int32)
-    hi_s, lo_s, idx_s = jax.lax.sort((hi, lo, idx), num_keys=3)
+    hi_s, lo_s, idx_s = _sort_by_voxel_key(hi, lo, idx, n)
 
     valid_s = hi_s != KEY_SENTINEL
     prev_same = jnp.concatenate(
