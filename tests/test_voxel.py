@@ -137,3 +137,24 @@ def test_standalone_voxel_down_sample_numpy_api():
     for kk, p in zip(map(tuple, keys_out), out):
         np.testing.assert_array_equal(p, first[kk])
     assert len(voxel_down_sample(np.zeros((0, 3)), 1.0)) == 0
+
+
+def test_sort_by_voxel_key_packed_matches_three_key_fallback():
+    """The packed two-key sort (indices fit 17 bits) must order rows
+    identically to the 3-key fallback used above 2^17 rows."""
+    import jax.numpy as jnp
+
+    from kiss_icp_tpu.ops.voxel import _sort_by_voxel_key, pack_voxel_keys
+
+    rng = np.random.default_rng(7)
+    n = 512
+    coords = rng.integers(-5, 5, size=(n, 3)).astype(np.int32)
+    valid = rng.random(n) > 0.3
+    hi, lo = pack_voxel_keys(jnp.asarray(coords), jnp.asarray(valid))
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    packed = _sort_by_voxel_key(hi, lo, idx, n)  # n <= 2^17 -> packed path
+    fallback = _sort_by_voxel_key(hi, lo, idx, (1 << 17) + 1)  # 3-key path
+    for a, b, name in zip(packed, fallback, ("hi", "lo", "idx")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"{name} ordering diverged")
