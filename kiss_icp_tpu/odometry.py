@@ -108,10 +108,11 @@ def register_frame(
     mcfg = map_config(config)
     vsize = float(config.mapping.voxel_size)
 
-    def deskew_register(deskew_delta, guess):
-        """Steps 1-5 for one deskew hypothesis: motion-compensate the raw
-        scan with `deskew_delta`, crop, double-downsample (KissICP.cpp:70-75),
-        and register the source against the map from `guess`."""
+    def deskew_downsample(deskew_delta):
+        """Steps 1-2 for one deskew hypothesis: motion-compensate the raw
+        scan with `deskew_delta`, crop, and build the map-insert cloud
+        (first half of the double downsample, KissICP.cpp:70-75). Shared
+        by the registration path and the map-only refine pass (5c)."""
         prep = preprocess.preprocess(
             points,
             timestamps,
@@ -125,6 +126,13 @@ def register_frame(
             prep.points, prep.valid, voxel_size=vsize * 0.5,
             capacity=int(config.engine.frame_capacity),
         )
+        return prep, frame_ds
+
+    def deskew_register(deskew_delta, guess):
+        """Steps 1-5 for one deskew hypothesis: deskew_downsample, then the
+        second (source) downsample, then register against the map from
+        `guess`."""
+        prep, frame_ds = deskew_downsample(deskew_delta)
         source = voxel.voxel_downsample(
             frame_ds.points, frame_ds.valid, voxel_size=vsize * 1.5,
             capacity=int(config.engine.source_capacity),
@@ -186,7 +194,10 @@ def register_frame(
         delta_est = se3.inverse(state.pose) @ new_pose
         prep, frame_ds, source, align = deskew_register(delta_est, new_pose)
         refine_finite = jnp.all(jnp.isfinite(align.pose))
-        pose_finite = pose_finite & refine_finite
+        # A non-finite REFINE pass keeps the valid base result — that is
+        # not a constant-velocity fallback, so `used_fallback` (documented
+        # as "pose predicted") must NOT be raised here; only the base
+        # registration's finiteness decides it.
         new_pose = se3.orthonormalize(
             jnp.where(refine_finite, align.pose, new_pose))
         total_iterations = total_iterations + align.num_iterations
@@ -200,19 +211,7 @@ def register_frame(
     #    FUTURE frames through the 20-point voxel slabs).
     if bool(config.engine.deskew_refine_map):
         delta_est = se3.inverse(state.pose) @ new_pose
-        prep = preprocess.preprocess(
-            points,
-            timestamps,
-            valid,
-            delta_est,
-            max_range=float(config.data.max_range),
-            min_range=float(config.data.min_range),
-            deskew=bool(config.data.deskew),
-        )
-        frame_ds = voxel.voxel_downsample(
-            prep.points, prep.valid, voxel_size=vsize * 0.5,
-            capacity=int(config.engine.frame_capacity),
-        )
+        prep, frame_ds = deskew_downsample(delta_est)
 
     # 6.-7. Model deviation feeds the threshold estimator.
     model_deviation = se3.inverse(initial_guess) @ new_pose

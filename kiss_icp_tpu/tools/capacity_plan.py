@@ -37,6 +37,21 @@ from typing import Iterable, Optional, Sequence, Tuple
 import numpy as np
 
 
+def assoc_bytes_per_iteration(source_capacity: int, max_points_per_voxel: int,
+                              probe_length: int, map_storage: str) -> int:
+    """Semantically-required HBM traffic of ONE GN iteration's exact-NN
+    association: per source row and each of its 27 neighbor voxels, the
+    point-row slab, the bucket-aligned fingerprint probe window, and the
+    count word. The single source of truth for this model — bench.py's
+    hbm_utilization_pct and this planner's stats both import it. Values
+    above 100 % of peak bandwidth mean the gather engine exploits
+    repeated-row locality below this naive byte count (see
+    docs/ARCHITECTURE.md, round-4 capacity ablation)."""
+    row_bytes = 6 if str(map_storage) == "u16" else 12
+    return source_capacity * 27 * (
+        max_points_per_voxel * row_bytes + probe_length * 4 + 4)
+
+
 def _unique_voxel_count(points: np.ndarray, voxel_size: float) -> int:
     if len(points) == 0:
         return 0
@@ -126,11 +141,13 @@ def estimate_map_voxels(
     min_range: float,
     max_range: float,
 ) -> int:
-    """Steady-state local-map voxel occupancy: unique world-frame voxels
-    (at the map's 1.0 * voxel_size) of the sampled frames' map-insert
-    clouds, trimmed to ``max_range`` of the LAST sampled pose — the same
-    trailing-window semantics as VoxelHashMap trim (hash_map.py,
-    reference VoxelHashMap.cpp:121-132)."""
+    """LOWER BOUND on steady-state local-map voxel occupancy: unique
+    world-frame voxels (at the map's 1.0 * voxel_size) of the sampled
+    frames' map-insert clouds, trimmed to ``max_range`` of the LAST
+    sampled pose — the same trailing-window semantics as VoxelHashMap trim
+    (hash_map.py, reference VoxelHashMap.cpp:121-132). The live map also
+    accumulates voxels from the unsampled frames in the window, so
+    ``plan`` applies a coverage margin on top of this number."""
     world = []
     for pts, pose in zip(frames, poses):
         pts = np.asarray(pts, np.float64).reshape(-1, 3)
@@ -172,11 +189,15 @@ def plan(
 
     map_log2 = None
     if map_voxels:
-        map_log2 = max(10, math.ceil(math.log2(map_voxels * 4.0)))
+        # `map_voxels` is a LOWER bound: it unions only the sampled frames'
+        # clouds, while the live map accumulates every frame in the
+        # trailing max_range window (parallax keeps adding voxels between
+        # samples). Size for <= 0.25 load on TWICE the bound — the 2x
+        # window-coverage margin absorbs the frames the sample missed; the
+        # pipeline's dropped-voxel counters surface any residual shortfall
+        # loudly at runtime.
+        map_log2 = max(10, math.ceil(math.log2(map_voxels * 2.0 * 4.0)))
 
-    row_bytes = 6 if map_storage == "u16" else 12
-    per_iter_bytes = lambda n: n * 27 * (  # noqa: E731 — tiny local model
-        max_points_per_voxel * row_bytes + probe_length * 4 + 4)
     src_cap = _pow2_at_least(int(source_ds * headroom))
     return Plan(
         max_points_per_frame=_pow2_at_least(int(raw * headroom)),
@@ -192,7 +213,8 @@ def plan(
             "source_ds_max": source_ds,
             "source_ds_p50": int(np.median([s.source_ds for s in stats])),
             "map_voxels_est": map_voxels,
-            "assoc_bytes_per_iteration": per_iter_bytes(src_cap),
+            "assoc_bytes_per_iteration": assoc_bytes_per_iteration(
+                src_cap, max_points_per_voxel, probe_length, map_storage),
         },
     )
 

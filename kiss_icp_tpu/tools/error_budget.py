@@ -62,13 +62,18 @@ def _world_scans(cap: int, **world_kw):
 
     base = dict(sequence=0, n_scans=N_FRAMES, speed=1.0, accel_frames=30)
     base.update(world_kw)
+    if not world_kw:
+        # The un-ablated world IS the bench drive: delegate to bench._scans
+        # (single source of the cache name and pack loop) when the harness
+        # is importable.
+        bench = _bench_module()
+        if bench is not None:
+            cfg = bench._config()
+            cfg.engine.max_points_per_frame = cap
+            ds, pts, ts, valid = bench._scans(cfg, N_FRAMES)
+            return np.asarray(ds.gt_poses, np.float64), pts, ts, valid
     tag = "_".join(f"{k}{v}" for k, v in sorted(world_kw.items())) or "default"
     cache = f"/tmp/kiss_errbudget_v2_{tag}_{N_FRAMES}f_{cap}cap.npz"
-    if not world_kw and not os.path.exists(cache):
-        # The un-ablated world IS the bench drive — share its cache.
-        bench_cache = f"/tmp/kiss_bench_scans_v2_seq0_{N_FRAMES}f_{cap}cap.npz"
-        if os.path.exists(bench_cache):
-            cache = bench_cache
     if os.path.exists(cache):
         try:
             with np.load(cache) as d:
@@ -100,30 +105,52 @@ def _world_scans(cap: int, **world_kw):
     return gt, pts, ts, valid
 
 
-def _bench_config(subsalt: int = 0, **overrides):
-    """The bench soak child's config (bench.py _config) with ablation
-    overrides applied as dotted keys, e.g. {'data.deskew': False}."""
-    from kiss_icp_tpu.config.parser import load_config
+def _bench_module():
+    """Import the repo-root bench harness so the cells ablate EXACTLY the
+    config the soak child measures (code-review r4: a hand-copied config
+    here had already drifted from bench._config's env knobs). Returns None
+    when bench.py is absent (installed wheel without the repo checkout)."""
+    import importlib
 
-    cfg = load_config(None)
-    cfg.data.min_range = 1.0
-    cfg.engine.map_storage = "f32"
-    cfg.engine.probe_length = 16
-    cfg.engine.nn_mode = "gather27"
-    cfg.engine.nn_live_capacity_log2 = 14
-    cfg.engine.max_points_per_frame = 65536
-    cfg.engine.frame_capacity = 16384
-    cfg.engine.source_capacity = 8192
-    cfg.engine.map_capacity_log2 = 19
-    cfg.engine.donate_state = True
-    cfg.engine.use_pallas = "auto"
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    try:
+        return importlib.import_module("bench")
+    except ImportError:
+        return None
+
+
+def _bench_config(subsalt: int = 0, **overrides):
+    """The bench soak child's config (bench.py _config — single source)
+    with ablation overrides applied as dotted keys, e.g.
+    {'data.deskew': False}. Falls back to a frozen copy of the round-4
+    values when the bench harness is not importable."""
+    bench = _bench_module()
+    if bench is not None:
+        cfg = bench._config(subsalt=subsalt)
+    else:
+        from kiss_icp_tpu.config.parser import load_config
+
+        cfg = load_config(None)
+        cfg.data.min_range = 1.0
+        cfg.engine.map_storage = "f32"
+        cfg.engine.probe_length = 16
+        cfg.engine.nn_mode = "gather27"
+        cfg.engine.nn_live_capacity_log2 = 14
+        cfg.engine.max_points_per_frame = 65536
+        cfg.engine.frame_capacity = 16384
+        cfg.engine.source_capacity = 8192
+        cfg.engine.map_capacity_log2 = 19
+        cfg.engine.donate_state = True
+        cfg.engine.use_pallas = "auto"
+        # In-process slow-mode re-roll (same trick as bench._config): an
+        # inert perturbation yields a distinct executable = a fresh draw.
+        cfg.registration.convergence_criterion *= 1.0 + subsalt * 1e-9
     for key, val in overrides.items():
         section, name = key.split(".")
         setattr(getattr(cfg, section), name, val)
-    # In-process slow-mode re-roll: a semantically inert perturbation yields
-    # a distinct executable (fresh draw of the tunnel's per-(process,
-    # program) execution-mode lottery).
-    cfg.registration.convergence_criterion *= 1.0 + subsalt * 1e-9
     return cfg
 
 
