@@ -59,13 +59,15 @@ def test_dump_config(tmp_path, monkeypatch):
 
 
 def test_eval_notebooks_valid_and_syntactic():
-    """The four eval notebooks (reference eval/*.ipynb analogs) are valid
-    nbformat-4 documents whose code cells compile."""
+    """The eval notebooks (the four reference eval/*.ipynb analogs plus the
+    TPU-specific error-budget/capacity notebook) are valid nbformat-4
+    documents whose code cells compile."""
     import json
     from pathlib import Path
 
     nb_dir = Path(__file__).resolve().parent.parent / "eval"
-    names = ["kitti", "kitti_raw", "mulran", "newer_college"]
+    names = ["kitti", "kitti_raw", "mulran", "newer_college",
+             "accuracy_error_budget"]
     for name in names:
         with open(nb_dir / f"{name}.ipynb") as f:
             nb = json.load(f)
