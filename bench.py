@@ -158,10 +158,17 @@ class _GtOnly:
         self.gt_poses = gt_poses
 
 
+def _scan_cache_path(cfg, n_frames) -> str:
+    """THE cache filename — single source for _scans and _scan_cache_ready.
+    v2: the synthetic drive changed (suspension heave reaching the scans +
+    distance-culled raycast; round-3 review fixes) — v1 caches are stale."""
+    cap = cfg.engine.max_points_per_frame
+    return f"/tmp/kiss_bench_scans_v2_seq0_{n_frames}f_{cap}cap.npz"
+
+
 def _scan_cache_ready(cfg, n_frames) -> bool:
     """True when _scans() will return from the on-disk cache (no synthesis)."""
-    cap = cfg.engine.max_points_per_frame
-    return os.path.exists(f"/tmp/kiss_bench_scans_v2_seq0_{n_frames}f_{cap}cap.npz")
+    return os.path.exists(_scan_cache_path(cfg, n_frames))
 
 
 def _scans(cfg, n_frames):
@@ -174,9 +181,7 @@ def _scans(cfg, n_frames):
     retry) reuses one cache file. Only gt_poses of the dataset object is
     needed downstream, so the cache stores arrays, not the world."""
     cap = cfg.engine.max_points_per_frame
-    # v2: the synthetic drive changed (suspension heave reaching the scans +
-    # distance-culled raycast; round-3 review fixes) — v1 caches are stale.
-    cache = f"/tmp/kiss_bench_scans_v2_seq0_{n_frames}f_{cap}cap.npz"
+    cache = _scan_cache_path(cfg, n_frames)
     if os.path.exists(cache):
         try:
             with np.load(cache) as d:
@@ -641,18 +646,22 @@ def child_aot() -> dict:
         fps = 1e3 / p50
         log(f"aot per-frame latency: p50={p50:.2f} ms "
             f"min={lat_ms.min():.2f} ms -> {fps:.1f} fps")
+        try:
+            os.unlink(path)  # every export, not just the last (r4b review)
+        except OSError:
+            pass
         if fps > best_fps:
             best_fps, best_p50 = fps, p50
+            # Salvage path: a later re-roll hanging past the child timeout
+            # must not lose an already-measured draw (same discipline as
+            # child_chunked/child_soak).
+            _publish_partial({"mode": "aot", "aot_fps": round(best_fps, 2),
+                              "p50_ms": round(float(best_p50), 3)})
         if best_fps >= 700.0 or time.monotonic() > deadline - 60.0:
             break
         log(f"aot draw at {fps:.0f} fps is slow-mode, re-rolling")
-    fps, lat_p50 = best_fps, best_p50
-    try:
-        os.unlink(path)
-    except OSError:
-        pass
-    return {"mode": "aot", "aot_fps": round(fps, 2),
-            "p50_ms": round(float(lat_p50), 3)}
+    return {"mode": "aot", "aot_fps": round(best_fps, 2),
+            "p50_ms": round(float(best_p50), 3)}
 
 
 def child_streaming() -> dict:

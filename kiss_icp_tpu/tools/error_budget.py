@@ -117,9 +117,14 @@ def _bench_module():
     if root not in sys.path:
         sys.path.insert(0, root)
     try:
-        return importlib.import_module("bench")
+        mod = importlib.import_module("bench")
     except ImportError:
         return None
+    # "bench" is a generic name: an unrelated module from cwd/site-packages
+    # can shadow the harness. Only trust a module with the expected surface.
+    if not (hasattr(mod, "_config") and hasattr(mod, "_scans")):
+        return None
+    return mod
 
 
 def _bench_config(subsalt: int = 0, **overrides):
@@ -129,7 +134,7 @@ def _bench_config(subsalt: int = 0, **overrides):
     values when the bench harness is not importable."""
     bench = _bench_module()
     if bench is not None:
-        cfg = bench._config(subsalt=subsalt)
+        cfg = bench._config()
     else:
         from kiss_icp_tpu.config.parser import load_config
 
@@ -145,12 +150,15 @@ def _bench_config(subsalt: int = 0, **overrides):
         cfg.engine.map_capacity_log2 = 19
         cfg.engine.donate_state = True
         cfg.engine.use_pallas = "auto"
-        # In-process slow-mode re-roll (same trick as bench._config): an
-        # inert perturbation yields a distinct executable = a fresh draw.
-        cfg.registration.convergence_criterion *= 1.0 + subsalt * 1e-9
     for key, val in overrides.items():
         section, name = key.split(".")
         setattr(getattr(cfg, section), name, val)
+    # In-process slow-mode re-roll (same trick as bench._config): an inert
+    # perturbation yields a distinct executable = a fresh draw. Applied
+    # AFTER the overrides so cells that pin convergence_criterion (e.g.
+    # conv_3e-5) still get distinct programs per subsalt (code-review r4b:
+    # override-after-perturb made every re-roll identical for those cells).
+    cfg.registration.convergence_criterion *= 1.0 + subsalt * 1e-9
     return cfg
 
 
