@@ -62,7 +62,7 @@ def _resolve(spec: str):
     return getattr(module, attr)
 
 
-def main(args=None):  # pragma: no cover - requires a ROS 2 environment
+def main(args=None):
     import rclpy
     from rclpy.executors import MultiThreadedExecutor
 

@@ -37,7 +37,7 @@ from kiss_icp_tpu.ros import core
 _NODE_CLASS = None
 
 
-def get_node_class():  # pragma: no cover - requires a ROS 2 environment
+def get_node_class():
     """Build (once) and return the OdometryServer rclpy Node class.
 
     A factory rather than a module-level class so importing this module
@@ -196,7 +196,7 @@ def get_node_class():  # pragma: no cover - requires a ROS 2 environment
     return OdometryServer
 
 
-def main(args=None):  # pragma: no cover - requires a ROS 2 environment
+def main(args=None):
     import rclpy
 
     node_class = get_node_class()

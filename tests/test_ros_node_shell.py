@@ -210,9 +210,24 @@ def _fake_modules():
     qos_mod.QoSDurabilityPolicy = QoSDurabilityPolicy
     time_mod = types.ModuleType("rclpy.time")
     time_mod.Time = _Time
+    exec_mod = types.ModuleType("rclpy.executors")
+
+    class MultiThreadedExecutor:
+        def __init__(self):
+            self.nodes = []
+            self.spun = False
+
+        def add_node(self, node):
+            self.nodes.append(node)
+
+        def spin(self):
+            self.spun = True
+
+    exec_mod.MultiThreadedExecutor = MultiThreadedExecutor
     rclpy.node = node_mod
     rclpy.qos = qos_mod
     rclpy.time = time_mod
+    rclpy.executors = exec_mod
 
     geometry = types.ModuleType("geometry_msgs")
     geometry_msg = types.ModuleType("geometry_msgs.msg")
@@ -236,7 +251,7 @@ def _fake_modules():
 
     return {
         "rclpy": rclpy, "rclpy.node": node_mod, "rclpy.qos": qos_mod,
-        "rclpy.time": time_mod,
+        "rclpy.time": time_mod, "rclpy.executors": exec_mod,
         "geometry_msgs": geometry, "geometry_msgs.msg": geometry_msg,
         "nav_msgs": nav, "nav_msgs.msg": nav_msg,
         "sensor_msgs": sensor, "sensor_msgs.msg": sensor_msg,
@@ -390,3 +405,26 @@ def test_main_saves_checkpoint_on_shutdown(ros_env, tmp_path):
     # A fresh node warm-starts from it without error.
     node = _make_node({"load_checkpoint": str(ckpt)})
     assert any("warm-started" in m for m in node.get_logger().infos)
+
+
+class _ExtraNode(_FakeNode):
+    def __init__(self):
+        super().__init__("extra_node")
+
+
+def _extra_node_factory():
+    return _ExtraNode()
+
+
+def test_container_composes_nodes_on_one_executor(ros_env, tmp_path):
+    """container.main: odometry node + an extra factory-spec node on one
+    (fake) MultiThreadedExecutor, checkpoint saved and nodes destroyed on
+    shutdown — the rclpy analog of the reference's component container."""
+    from kiss_icp_tpu.ros import container
+
+    ckpt = tmp_path / "composed.npz"
+    _FakeNode.PARAM_OVERRIDES.update(
+        {"max_range": 50.0, "min_range": 1.0, "voxel_size": 0.5,
+         "save_checkpoint_path": str(ckpt)})
+    container.main(["test_ros_node_shell:_extra_node_factory"])
+    assert ckpt.exists()  # spin returned -> finally saved + destroyed
