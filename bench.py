@@ -350,6 +350,7 @@ def child_ab() -> dict:
     est_variant_s = 90.0  # ~40-60 s compile + first + 3 timed rounds
 
     best = {}
+    slow_draws = []
     for name, (up, storage, k, nn) in AB_VARIANTS.items():
         if time.monotonic() > deadline - est_variant_s:
             log(f"ab: child budget exhausted before {name}; "
@@ -377,6 +378,7 @@ def child_ab() -> dict:
                     # the same lottery ticket; abandon after one (VERDICT r3).
                     log(f"ab {name}: slow-mode draw ({rounds[0]:.0f} fps), "
                         "abandoning after 1 round")
+                    slow_draws.append(name)
                     break
             best[name] = max(rounds)
             log(f"ab {name}: compile {compile_s:.1f}s, rounds "
@@ -386,7 +388,13 @@ def child_ab() -> dict:
                     {"mode": "ab", **{n: round(v, 2) for n, v in best.items()}})
         except Exception as e:
             log(f"ab {name}: failed ({type(e).__name__}: {e})")
-    return {"mode": "ab", **{n: round(v, 2) for n, v in best.items()}}
+    out = {"mode": "ab", **{n: round(v, 2) for n, v in best.items()}}
+    if slow_draws:
+        # Audit-trail honesty: these variants' numbers are abandoned
+        # slow-mode draws, NOT the variant's capability — without the flag
+        # a summary.json reader would compare them against healthy draws.
+        out["slow_draws"] = slow_draws
+    return out
 
 
 def child_batched() -> dict:
