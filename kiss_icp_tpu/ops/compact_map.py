@@ -43,7 +43,6 @@ from kiss_icp_tpu.ops.hash_map import (
     MapConfig,
     QueryResult,
     VoxelMap,
-    _window,
     _window_fp,
     window_row,
     decode_points,
@@ -121,8 +120,18 @@ def build_compact(mcfg: MapConfig, ccfg: CompactConfig, m: VoxelMap) -> CompactM
     hrows = _hash_rows(ckeys, ccfg)  # (L,)
 
     def claim_round(state):
-        hfp, hval, pending, _ = state
+        hfp, hval, pending, n_shadowed = state
         wfp = _window_fp(hfp, hrows, k)  # (L, K) row gather
+        # A pending row whose window already holds its fingerprint (claimed
+        # by a DIFFERENT voxel in an earlier round — equal fingerprints can
+        # coexist in the dense map via different dense windows) must be
+        # refused as a COUNTED drop: lookup_rows stops at the first
+        # fingerprint match, so placing it would make it permanently
+        # unfindable while dropped stayed 0. Same hazard + remedy as
+        # hash_map.insert's now_shadowed (code-review r4c).
+        shadowed = pending & jnp.any(wfp == fp[:, None], axis=-1)
+        pending = pending & ~shadowed
+        n_shadowed = n_shadowed + jnp.sum(shadowed.astype(jnp.int32))
         free = wfp == 0
         any_free = jnp.any(free, axis=-1)
         tgt_pos = jnp.argmax(free, axis=-1)
@@ -136,18 +145,19 @@ def build_compact(mcfg: MapConfig, ccfg: CompactConfig, m: VoxelMap) -> CompactM
         hfp = hfp.at[jnp.where(won, tgt_slot, h_cap)].set(fp, mode="drop")
         hval = hval.at[jnp.where(won, tgt_slot, h_cap)].set(rows, mode="drop")
         pending = pending & ~won & any_free
-        return hfp, hval, pending, won
+        return hfp, hval, pending, n_shadowed
 
     def claim_cond(state):
         return jnp.any(state[2])
 
     hfp0 = jnp.zeros((h_cap,), jnp.int32)
     hval0 = jnp.zeros((h_cap,), jnp.int32)
-    hfp, hval, pending, _ = jax.lax.while_loop(
-        claim_cond, claim_round, (hfp0, hval0, row_valid, jnp.zeros((l_cap,), bool))
+    hfp, hval, pending, n_shadowed = jax.lax.while_loop(
+        claim_cond, claim_round,
+        (hfp0, hval0, row_valid, jnp.zeros((), jnp.int32))
     )
     dropped_hash = jnp.sum(pending.astype(jnp.int32))  # always 0 at load 0.25
-    dropped = (n_live_total - n_live) + dropped_hash
+    dropped = (n_live_total - n_live) + dropped_hash + n_shadowed
 
     return CompactMap(ckeys, ccounts, cpoints, hfp, hval, n_live, dropped)
 

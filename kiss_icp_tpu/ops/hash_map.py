@@ -209,13 +209,6 @@ def window_row(coords: jnp.ndarray, capacity_log2: int,
     return (_hash_coords(coords) >> (32 - row_bits)).astype(jnp.int32)
 
 
-def _window(base: jnp.ndarray, probe_length: int, capacity: int) -> jnp.ndarray:
-    """Slot indices of the probe window: (..., probe_length) int32. Aligned
-    bases never wrap; the mask keeps out-of-range math safe regardless."""
-    offs = jnp.arange(probe_length, dtype=jnp.int32)
-    return (base[..., None] + offs) & (capacity - 1)
-
-
 def _window_fp(fprints: jnp.ndarray, rows: jnp.ndarray,
                probe_length: int) -> jnp.ndarray:
     """Fingerprints of the probe windows `rows`: (..., probe_length) via a
@@ -343,7 +336,6 @@ def query_nearest_loop(cfg: MapConfig, m: VoxelMap, queries: jnp.ndarray,
     n = queries.shape[0]
     k = cfg.probe_length
     p = cfg.max_points_per_voxel
-    cap = cfg.capacity
 
     qvox = voxel_ops.point_to_voxel(queries, cfg.voxel_size)  # (N, 3)
     shifts = jnp.asarray(_NEIGHBOR_SHIFTS)
@@ -401,6 +393,15 @@ def insert(cfg: MapConfig, m: VoxelMap, points: jnp.ndarray,
     p = cfg.max_points_per_voxel
     cap = cfg.capacity
 
+    # World-extent envelope (voxel_ops.in_envelope): pack_voxel_keys masks
+    # out-of-envelope points inside group_by_voxel so they can never alias
+    # into a wrong voxel's group; count them here as a LOUD drop — a drive
+    # leaving the +-16383-voxel world envelope must surface, not silently
+    # thin the map (code-review r4c).
+    num_oob = jnp.sum(
+        (valid & ~voxel_ops.in_envelope(
+            voxel_ops.point_to_voxel(points, cfg.voxel_size))
+         ).astype(jnp.int32))
     groups = voxel_ops.group_by_voxel(
         points, valid, voxel_size=cfg.voxel_size, group_capacity=cfg.group_capacity
     )
@@ -530,9 +531,9 @@ def insert(cfg: MapConfig, m: VoxelMap, points: jnp.ndarray,
         counts=new_counts,
         points=new_points,
         total_points=m.total_points + added,
-        num_dropped_voxels=m.num_dropped_voxels + dropped,
+        num_dropped_voxels=m.num_dropped_voxels + dropped + num_oob,
     )
-    return new_map, InsertStats(added, dropped)
+    return new_map, InsertStats(added, dropped + num_oob)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("m",))

@@ -49,7 +49,6 @@ from kiss_icp_tpu.ops.hash_map import (
     MapConfig,
     QueryResult,
     VoxelMap,
-    _window,
     _window_fp,
     fingerprint,
     window_row,
@@ -208,7 +207,6 @@ def query_nearest_fused(cfg: MapConfig, m: VoxelMap, queries: jnp.ndarray,
     evaluation. Bit-identical results to hash_map.query_nearest."""
     k = cfg.probe_length
     p = cfg.max_points_per_voxel
-    cap = cfg.capacity
     n = queries.shape[0]
 
     qvox = voxel_ops.point_to_voxel(queries, cfg.voxel_size)  # (N, 3)

@@ -40,13 +40,30 @@ def point_to_voxel(points: jnp.ndarray, voxel_size: float) -> jnp.ndarray:
     return jnp.floor(points / voxel_size).astype(jnp.int32)
 
 
+def in_envelope(coords: jnp.ndarray, margin: int = 0) -> jnp.ndarray:
+    """(..., ) bool: coords representable in the 15-bit-per-axis key space.
+
+    The sort keys wrap coords to [-16384, 16383] per axis; two voxels 32768
+    cells apart would alias to the SAME key, silently merging their groups
+    during world-frame map insertion (code-review r4c). Callers that feed
+    WORLD-frame coords (hash_map.insert) must mask + count what falls
+    outside; sensor-frame callers (the range-cropped downsample) can never
+    leave the envelope. `margin` shrinks the envelope (e.g. 1 for the
+    27-neighborhood's +-1 shifts)."""
+    lo, hi = -_AXIS_OFFSET + margin, _AXIS_OFFSET - margin
+    return jnp.all((coords >= lo) & (coords < hi), axis=-1)
+
+
 def pack_voxel_keys(coords: jnp.ndarray, valid: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pack int32 voxel coords (..., 3) into two int32 lexicographic sort keys.
 
     key_hi = (x + off) << 15 | (y + off),  key_lo = (z + off).
-    Invalid rows map to (KEY_SENTINEL, KEY_SENTINEL) so they sort to the end.
+    Invalid rows — including coords outside the representable envelope,
+    which would otherwise wrap and alias (see in_envelope) — map to
+    (KEY_SENTINEL, KEY_SENTINEL) so they sort to the end.
     Ordering of (key_hi, key_lo) equals lexicographic ordering of (x, y, z).
     """
+    valid = valid & in_envelope(coords)
     x = (coords[..., 0] + _AXIS_OFFSET) & _AXIS_MASK
     y = (coords[..., 1] + _AXIS_OFFSET) & _AXIS_MASK
     z = (coords[..., 2] + _AXIS_OFFSET) & _AXIS_MASK

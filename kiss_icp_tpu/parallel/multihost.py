@@ -95,6 +95,10 @@ class MultihostBatchedOdometry:
         self.config = config
         self.batch = global_batch
         self.mesh = mesh if mesh is not None else pbatch.make_mesh()
+        # Same counter contract as BatchedOdometry/KissICP: readable before
+        # the first register_frames (code-review r4c).
+        self.last_input_dropped = 0
+        self.total_input_dropped = 0
         self._cap = int(config.engine.max_points_per_frame)
         self._data_sharding = NamedSharding(
             self.mesh, P(pbatch.SEQ_AXIS, pbatch.PTS_AXIS)
@@ -141,8 +145,7 @@ class MultihostBatchedOdometry:
             valid[i, :n] = True
             if t is not None and len(t) == n:
                 ts[i, :n] = np.asarray(t)
-        self.total_input_dropped = (
-            getattr(self, "total_input_dropped", 0) + self.last_input_dropped)
+        self.total_input_dropped += self.last_input_dropped
         self.state, result = self._step(
             self.state,
             self._global_array(pts),

@@ -138,30 +138,30 @@ def init_pod_state(config: KISSConfig, mesh: Mesh, batch: int) -> PodState:
         vkeys=put(jnp.zeros((b, c, 3), jnp.int32), P(SEQ_AXIS, MAP_AXIS)),
         fprints=put(jnp.zeros((b, c), jnp.int32), P(SEQ_AXIS, MAP_AXIS)),
         counts=put(jnp.zeros((b, c), jnp.int32), P(SEQ_AXIS, MAP_AXIS)),
-        points=put(jnp.zeros((b, c, p, 3), jnp.float32), P(SEQ_AXIS, MAP_AXIS)),
+        points=put(jnp.zeros((b, c, p, 3), mcfg.point_dtype),
+                   P(SEQ_AXIS, MAP_AXIS)),
         total_points=put(jnp.zeros((b, d), jnp.int32), P(SEQ_AXIS, MAP_AXIS)),
         num_dropped_voxels=put(jnp.zeros((b, d), jnp.int32),
                                P(SEQ_AXIS, MAP_AXIS)),
     )
 
 
+# PodState is ShardedMapState with a leading sequence axis on every leaf —
+# the fields are identical by construction, so the per-sequence view and its
+# inverse are positional splats (a field added to one class without the
+# other now fails loudly here instead of silently desynchronizing two
+# hand-maintained copy lists — code-review r4c).
+assert PodState._fields == ShardedMapState._fields
+
+
 def _per_seq_state(state: PodState) -> ShardedMapState:
     """View one local sequence's leaves (no leading axis) as the
     single-sequence ShardedMapState that frame_step_shard expects."""
-    return ShardedMapState(
-        pose=state.pose, delta=state.delta, threshold=state.threshold,
-        vkeys=state.vkeys, fprints=state.fprints, counts=state.counts,
-        points=state.points, total_points=state.total_points,
-        num_dropped_voxels=state.num_dropped_voxels,
-    )
+    return ShardedMapState(*state)
 
 
 def _to_pod_state(s: ShardedMapState) -> PodState:
-    return PodState(
-        pose=s.pose, delta=s.delta, threshold=s.threshold,
-        vkeys=s.vkeys, fprints=s.fprints, counts=s.counts, points=s.points,
-        total_points=s.total_points, num_dropped_voxels=s.num_dropped_voxels,
-    )
+    return PodState(*s)
 
 
 def make_pod_chunked_step(config: KISSConfig, mesh: Mesh):

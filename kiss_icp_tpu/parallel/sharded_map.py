@@ -113,7 +113,10 @@ def init_sharded_state(config: KISSConfig, mesh: Mesh) -> ShardedMapState:
         vkeys=jax.device_put(jnp.zeros((c, 3), jnp.int32), shd),
         fprints=jax.device_put(jnp.zeros((c,), jnp.int32), shd),
         counts=jax.device_put(jnp.zeros((c,), jnp.int32), shd),
-        points=jax.device_put(jnp.zeros((c, p, 3), jnp.float32), shd),
+        # Honor engine.map_storage: create_map (hash_map.py:127) uses
+        # cfg.point_dtype; hardcoded f32 here silently defeated u16's
+        # halved footprint on the sharded engine (code-review r4c).
+        points=jax.device_put(jnp.zeros((c, p, 3), mcfg.point_dtype), shd),
         total_points=jax.device_put(jnp.zeros((d,), jnp.int32), shd),
         num_dropped_voxels=jax.device_put(jnp.zeros((d,), jnp.int32), shd),
     )

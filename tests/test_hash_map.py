@@ -342,3 +342,30 @@ def test_fingerprint_shadowing_is_a_counted_drop():
         np.testing.assert_allclose(np.asarray(qs.distances), 0.0, atol=1e-5)
         qr = hm.query_nearest(cfg, m, jnp.asarray(second), jnp.ones(1, bool))
         assert not bool(np.asarray(qr.found)[0])
+
+
+def test_world_envelope_overflow_is_a_counted_drop_not_aliasing():
+    """Voxel coords wrap to 15 bits per axis in the sort keys: a point
+    32768 voxels away from another would alias to the SAME key and merge
+    into its group during insertion. Out-of-envelope points must instead be
+    dropped and COUNTED, and must never fabricate phantom points at the
+    aliased near-origin location (code-review r4c)."""
+    cfg = hm.MapConfig(voxel_size=1.0, max_distance=1e9,
+                       max_points_per_voxel=4, capacity_log2=12,
+                       probe_length=16, group_capacity=8)
+    near = np.array([[100.5, 0.5, 0.5]], np.float32)
+    # Same wrapped key as a voxel at x = 100 - 32768 after 15-bit wrap...
+    far = np.array([[100.5 + 32768.0, 0.5, 0.5]], np.float32)
+
+    m = hm.create_map(cfg)
+    m, s1 = hm.insert(cfg, m, jnp.asarray(near), jnp.ones(1, bool))
+    assert int(s1.num_dropped_voxels) == 0
+    m, s2 = hm.insert(cfg, m, jnp.asarray(far), jnp.ones(1, bool))
+    assert int(s2.num_dropped_voxels) == 1  # out of envelope: loud drop
+    assert int(m.total_points) == 1  # nothing stored for the far point
+
+    # The near voxel still answers with ITS point only — no phantom from
+    # the far point folded into its slab.
+    q = hm.query_nearest(cfg, m, jnp.asarray(near), jnp.ones(1, bool))
+    np.testing.assert_allclose(np.asarray(q.distances), 0.0, atol=1e-5)
+    assert int(np.asarray(m.counts).sum()) == 1

@@ -134,3 +134,52 @@ def test_compact_overflow_reaches_frame_result():
                           jnp.asarray(valid))
         total += int(res.num_dropped_map_voxels)
     assert total > 0
+
+
+def test_compact_view_counts_cross_round_fingerprint_shadow():
+    """Two voxels with EQUAL 32-bit fingerprints (the brute-forced pair from
+    test_hash_map.py) can coexist in the DENSE map via different dense
+    windows, then collide in the same compact hash window. lookup_rows stops
+    at the first fingerprint match, so packing both would make one
+    permanently unfindable; build_compact must refuse the second as a
+    COUNTED drop (which triggers registration's sparse fallback) instead of
+    silently losing it."""
+    import jax.numpy as jnp
+
+    from kiss_icp_tpu.ops import compact_map as cm_mod
+    from kiss_icp_tpu.ops import hash_map as hm
+
+    a = jnp.asarray([[-3403, 1173, 2243]], jnp.int32)
+    b = jnp.asarray([[2285, 3484, 3708]], jnp.int32)
+    assert int(hm.fingerprint(a)[0]) == int(hm.fingerprint(b)[0])
+
+    cfg = hm.MapConfig(voxel_size=1.0, max_distance=1e5,
+                       max_points_per_voxel=4, capacity_log2=13,
+                       probe_length=16, group_capacity=8)
+    # Same probe geometry as the dense config where the pair shares a
+    # window -> they share a compact window too.
+    ccfg = cm_mod.CompactConfig(live_capacity_log2=11, hash_capacity_log2=13,
+                                probe_length=16)
+    assert int(cm_mod._hash_rows(a, ccfg)[0]) == int(cm_mod._hash_rows(b, ccfg)[0])
+
+    # Fabricate a dense map holding BOTH voxels (legal when their DENSE
+    # windows differ; build_compact only reads counts/vkeys/points).
+    m = hm.create_map(cfg)
+    vkeys = m.vkeys.at[10].set(a[0]).at[20].set(b[0])
+    counts = m.counts.at[10].set(1).at[20].set(1)
+    points = m.points.at[10, 0].set(jnp.asarray(a[0], m.points.dtype))
+    points = points.at[20, 0].set(jnp.asarray(b[0], m.points.dtype))
+    m = m._replace(vkeys=vkeys, counts=counts, points=points)
+
+    cm = cm_mod.build_compact(cfg, ccfg, m)
+    assert int(cm.n_live) == 2
+    assert int(cm.num_dropped) == 1  # the shadowed voxel: refused, counted
+
+    rows_a, found_a = cm_mod.lookup_rows(ccfg, cm, a)
+    rows_b, found_b = cm_mod.lookup_rows(ccfg, cm, b)
+    # Exactly one is findable, and it resolves to its own key (never the
+    # other voxel's points).
+    assert int(found_a[0]) + int(found_b[0]) == 1
+    row, found = (rows_a, found_a) if bool(found_a[0]) else (rows_b, found_b)
+    key = a if bool(found_a[0]) else b
+    assert bool(jnp.all(cm.ckeys[row[0]] == key[0]))

@@ -127,3 +127,28 @@ def test_chunked_map_sharded_matches_streaming():
         sstate, res = step(sstate, pts[i], ts[i], valid[i])
         stream.append(np.asarray(res.pose))
     np.testing.assert_allclose(np.asarray(poses), np.stack(stream), atol=1e-5)
+
+
+def test_u16_storage_honored_on_sharded_and_pod_state():
+    """engine.map_storage='u16' must shape the sharded/pod point stores too
+    (they hardcoded f32, silently defeating u16's halved footprint)."""
+    import jax.numpy as jnp
+
+    from kiss_icp_tpu.parallel import pod
+
+    cfg = _config()
+    cfg.engine.map_storage = "u16"
+    st = sharded_map.init_sharded_state(cfg, _mesh())
+    assert st.points.dtype == jnp.uint16
+
+    pod_mesh = pod.make_pod_mesh(n_seq=2, n_map=4)
+    pst = pod.init_pod_state(cfg, pod_mesh, batch=2)
+    assert pst.points.dtype == jnp.uint16
+
+    # And the sharded pipeline still tracks with u16 storage end-to-end.
+    pts, ts, valid = _frames(4, 1024)
+    step = sharded_map.make_map_sharded_step(cfg, _mesh())
+    state = sharded_map.init_sharded_state(cfg, _mesh())
+    for i in range(4):
+        state, res = step(state, pts[i], ts[i], valid[i])
+    assert np.all(np.isfinite(np.asarray(res.pose)))
