@@ -87,6 +87,10 @@ class HeLiPRDataset:
         points = np.stack(
             [rec["x"], rec["y"], rec["z"]], axis=1
         ).astype(np.float64)
+        if len(rec) == 0:
+            # Zero-record scan (truncated file): an empty frame the pipeline
+            # already tolerates, not a numpy reduction crash.
+            return points, np.zeros((0,), np.float64)
         t = rec[_LAYOUTS[self.sequence_id]["time_field"]].astype(np.float64)
         span = t.max() - t.min()
         stamps = (t - t.min()) / span if span > 0 else np.zeros_like(t)

@@ -57,6 +57,12 @@ class McapDataset:
                 pc2_topics.append(channel.topic)
         if topic and topic in pc2_topics:
             return topic
+        if topic:
+            # Invalid user topic: error listing the valid ones (reference
+            # mcap.py:110-118), never silently substitute another sensor.
+            print(f"[ERROR] Topic {topic} is not a PointCloud2 topic of "
+                  f"this mcap; available: {pc2_topics}", file=sys.stderr)
+            raise ValueError(f"invalid topic {topic!r}")
         if len(pc2_topics) == 1:
             return pc2_topics[0]
         if not pc2_topics:

@@ -28,6 +28,7 @@ _T_LIDAR_TO_BASE = np.array(
 class MulranDataset:
     H = 64
     W = 1024
+    _STAMPS = None  # cached constant (rebuilt 65k-elem array per frame otherwise)
 
     def __init__(self, data_dir, *_, **__):
         self.sequence_id = os.path.basename(os.path.realpath(str(data_dir)))
@@ -57,7 +58,9 @@ class MulranDataset:
     @classmethod
     def get_timestamps(cls) -> np.ndarray:
         """Column-major pseudo stamps floor(i/H)/W in [0, 1) (mulran.py:54-58)."""
-        return np.floor(np.arange(cls.H * cls.W) / cls.H) / cls.W
+        if cls._STAMPS is None:
+            cls._STAMPS = np.floor(np.arange(cls.H * cls.W) / cls.H) / cls.W
+        return cls._STAMPS
 
     def _load_gt_poses(self, poses_file: str) -> np.ndarray:
         data = np.loadtxt(poses_file, delimiter=",")

@@ -15,6 +15,7 @@ from kiss_icp_tpu.io.cloud_io import read_pcd
 class NewerCollegeDataset:
     H = 64
     W = 1024
+    _STAMPS = None  # cached constant (rebuilt 65k-elem array per frame otherwise)
 
     def __init__(self, data_dir, *_, **__):
         self.data_source = str(data_dir)
@@ -40,7 +41,9 @@ class NewerCollegeDataset:
 
     @classmethod
     def get_timestamps(cls) -> np.ndarray:
-        return np.floor(np.arange(cls.H * cls.W) / cls.H) / cls.W
+        if cls._STAMPS is None:
+            cls._STAMPS = np.floor(np.arange(cls.H * cls.W) / cls.H) / cls.W
+        return cls._STAMPS
 
     @staticmethod
     def get_pcd_filenames(scans_folder):

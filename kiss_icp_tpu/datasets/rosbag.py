@@ -54,6 +54,14 @@ class RosbagDataset:
         ]
         if topic and topic in point_cloud_topics:
             return topic
+        if topic:
+            # The requested topic is NOT a PointCloud2 topic of this bag:
+            # error with the valid choices (reference rosbag.py:120-127)
+            # instead of silently reading a different topic.
+            print(f"[ERROR] Topic {topic} is not a PointCloud2 topic of "
+                  f"this bag; available: {point_cloud_topics}",
+                  file=sys.stderr)
+            raise ValueError(f"invalid topic {topic!r}")
         if len(point_cloud_topics) == 1:
             return point_cloud_topics[0]
         if len(point_cloud_topics) == 0:

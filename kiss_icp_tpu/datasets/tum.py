@@ -41,7 +41,13 @@ class TUMDataset:
         """One GT pose per depth frame by nearest timestamp (tum.py:60-79)."""
         gt_t = gt_list[:, 0].astype(np.float64)
         frame_t = self.depth_frames[:, 0].astype(np.float64)
-        indices = np.unique(np.abs(np.subtract.outer(gt_t, frame_t)).argmin(0))
+        # One GT row per frame, duplicates KEPT: the reference's np.unique
+        # (tum.py:63) collapses frames that share a nearest GT row (mocap
+        # gaps), making len(gt_poses) < len(dataset) — which silently
+        # disables the pipeline's evaluation and misaligns the written GT
+        # file. Nearest-index per frame preserves the documented 1:1
+        # contract.
+        indices = np.abs(np.subtract.outer(gt_t, frame_t)).argmin(0)
         xyz = gt_list[indices][:, 1:4].astype(np.float64)
         quat_xyzw = gt_list[indices][:, 4:8].astype(np.float64)
         rot = Rotation.from_quat(quat_xyzw).as_matrix()

@@ -57,8 +57,19 @@ def save_state(path, state) -> None:
     '.npz' to a suffixless name, which `load_checkpoint(path)` then cannot
     find).
     """
+    _atomic_write(path, _state_arrays(state))
+
+
+def _state_arrays(state) -> dict:
     leaves = jax.tree_util.tree_leaves(state)
-    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    return {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+
+
+def _atomic_write(path, arrays: dict) -> None:
+    """ONE copy of the atomic-write protocol (tmp name ending in .npz so
+    savez keeps it, then rename): a crash mid-write — the very scenario
+    periodic checkpoints exist for — never leaves a truncated file, and a
+    future hardening (e.g. fsync) lands in both save paths at once."""
     path = Path(path)
     tmp = path.with_name(path.name + f".{os.getpid()}.tmp.npz")
     np.savez_compressed(tmp, **arrays)
@@ -66,20 +77,12 @@ def save_state(path, state) -> None:
 
 
 def save_checkpoint(path, state, config) -> None:
-    """`save_state` plus a metadata record used for mismatch diagnostics.
-
-    The write is atomic (tmp file + rename): a crash mid-write — the very
-    scenario periodic checkpoints exist for — never leaves a truncated
-    checkpoint behind."""
-    leaves = jax.tree_util.tree_leaves(state)
-    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    """`save_state` plus a metadata record used for mismatch diagnostics."""
+    arrays = _state_arrays(state)
     arrays["metadata_json"] = np.frombuffer(
         json.dumps(_metadata(config)).encode(), dtype=np.uint8
     )
-    path = Path(path)
-    tmp = path.with_name(path.name + f".{os.getpid()}.tmp.npz")
-    np.savez_compressed(tmp, **arrays)
-    os.replace(tmp, path)
+    _atomic_write(path, arrays)
 
 
 def load_checkpoint(path, config, template=None):

@@ -64,6 +64,9 @@ class OdometryPipeline:
         if jump < 0 or jump > len(dataset):
             raise ValueError(
                 f"--jump {jump} is outside the dataset (len {len(dataset)})")
+        if n_scans < -1:
+            raise ValueError(
+                f"--n-scans {n_scans} is invalid (-1 = all, else >= 0)")
         self._n_scans = len(dataset) - jump if n_scans == -1 else min(len(dataset) - jump, n_scans)
         self._first = jump
         self._last = self._first + self._n_scans

@@ -199,8 +199,12 @@ def main(argv=None) -> int:
     if ok:
         # Normalize against the SMALLEST measured mesh of the SAME program
         # (for --pod that is 2 devices, not 1 — name the key accordingly).
-        base = ok[0]["seq_frames_per_s"]
-        key = f"vs_{ok[0]['devices']}dev"
+        # ok[0] is only the smallest for an ascending --devices list; pick
+        # the actual min so a descending list can't invert the ratios
+        # (code-review r4d).
+        smallest = min(ok, key=lambda r: r["devices"])
+        base = smallest["seq_frames_per_s"]
+        key = f"vs_{smallest['devices']}dev"
         for r in ok:
             r[key] = round(r["seq_frames_per_s"] / base, 3)
     print(json.dumps(summary), flush=True)

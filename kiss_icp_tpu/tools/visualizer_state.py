@@ -137,6 +137,11 @@ class VisualizerState:
         """
         if self.play_mode:
             tick()
+            # The title-bar X fires no ImGui callback in play mode either:
+            # without this check a playing session ignores the OS close
+            # request until pause/quit (code-review r4d).
+            if window_closed is not None and window_closed():
+                self.request_quit()
             return
         self._step_requested = False
         while not (self.play_mode or self._step_requested or self.quit_requested):
