@@ -48,6 +48,10 @@ import numpy as np
 
 N_FRAMES = 240
 CHUNK = 24
+# A first chunk slower than this fps is treated as a tunnel slow-mode draw
+# and the program re-rolled (module constant so tests on CPU — where every
+# draw is "slow" — can disable the re-roll instead of paying 4 recompiles).
+SLOW_DRAW_FPS = 40.0
 
 
 def log(*a):
@@ -189,7 +193,7 @@ def run_cell(name: str, scans, overrides: dict) -> dict:
             state, summary = chunk(state, pts[sl], ts[sl], valid[sl])
             jax.block_until_ready(summary.poses)
             summaries.append(summary)
-            if c == 0 and (time.perf_counter() - t0) > CHUNK / 40.0:
+            if c == 0 and (time.perf_counter() - t0) > CHUNK / SLOW_DRAW_FPS:
                 log(f"[{name}] slow-mode draw "
                     f"({CHUNK / (time.perf_counter() - t0):.0f} fps), "
                     "re-rolling program")
