@@ -141,6 +141,18 @@ class EngineConfig:
     # delta (the pose estimate is untouched; refined points reach future
     # frames through the voxel slabs). One extra deskew+downsample per frame.
     deskew_refine_map: bool = False
+    # Rolling-origin re-base trigger, in voxels (inf-norm of the local pose
+    # translation). The map's packed voxel keys and fixed-point storage
+    # bound the world to ±16383 voxels per axis (ops/voxel.in_envelope);
+    # when the pose passes this many voxels from the local origin the
+    # engine re-expresses map + pose in a shifted origin (hash_map.rebase)
+    # so arbitrarily long drives never leave the envelope — the reference's
+    # unbounded robin_map keys (VoxelUtils.hpp:32-41) need no analog. The
+    # default triggers every ~4 km at 1 m voxels, far inside the envelope
+    # yet rare enough that the O(capacity) table rebuild is free in
+    # amortized terms. 0 disables auto-rebase (out-of-envelope points then
+    # drop LOUDLY via the num_oob_points counter).
+    rebase_trigger_voxels: int = 4096
     # Shard the voxel map's slots over this many devices (power of two).
     # 1 = replicated map (single-device path). >1 selects the map-sharded
     # engine (parallel/sharded_map.py): per-device map memory drops by the

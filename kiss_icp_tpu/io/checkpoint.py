@@ -76,13 +76,30 @@ def _atomic_write(path, arrays: dict) -> None:
     os.replace(tmp, path)
 
 
-def save_checkpoint(path, state, config) -> None:
-    """`save_state` plus a metadata record used for mismatch diagnostics."""
+def save_checkpoint(path, state, config, extras=None) -> None:
+    """`save_state` plus a metadata record used for mismatch diagnostics.
+
+    `extras`: optional {name: array} of engine-side host state stored
+    alongside the device pytree (namespaced ``extra_<name>`` so the leaf
+    count validation ignores them) — e.g. the rolling world origin. Read
+    back with :func:`load_extra`.
+    """
     arrays = _state_arrays(state)
     arrays["metadata_json"] = np.frombuffer(
         json.dumps(_metadata(config)).encode(), dtype=np.uint8
     )
+    for name, value in (extras or {}).items():
+        arrays[f"extra_{name}"] = np.asarray(value)
     _atomic_write(path, arrays)
+
+
+def load_extra(path, name, default=None):
+    """An ``extras`` array stored by :func:`save_checkpoint`, or `default`
+    when the checkpoint predates the field (older format versions stay
+    loadable)."""
+    with np.load(Path(path)) as data:
+        key = f"extra_{name}"
+        return data[key] if key in data.files else default
 
 
 def load_checkpoint(path, config, template=None):

@@ -45,6 +45,8 @@ class FrameResult(NamedTuple):
     num_correspondences: jnp.ndarray  # () correspondences at convergence
     num_dropped_downsample: jnp.ndarray  # () voxels lost to frame/source capacity
     num_dropped_map_voxels: jnp.ndarray  # () new voxels lost to map probe overflow
+    num_oob_points: jnp.ndarray  # () points outside the world key envelope
+    #                                (kept zero by the auto-rebase engines)
     used_fallback: jnp.ndarray  # () bool — non-finite registration, pose predicted
 
 
@@ -202,6 +204,13 @@ def register_frame(
             jnp.where(refine_finite, align.pose, new_pose))
         total_iterations = total_iterations + align.num_iterations
 
+    # Downsample drop diagnostics of the pass that produced BOTH output
+    # clouds, captured BEFORE 5c can rebuild frame_ds from a different
+    # deskew hypothesis — summing the refined pass's frame drops with the
+    # base pass's source drops would mix counters from two different clouds
+    # (advisor r4).
+    num_dropped_downsample = frame_ds.num_dropped + source.num_dropped
+
     # 5c. Optional map-only deskew refinement (engine.deskew_refine_map):
     #    re-deskew the raw scan with the ESTIMATED delta and rebuild only the
     #    map-update cloud from it — the pose estimate is untouched (measured:
@@ -246,9 +255,10 @@ def register_frame(
         sigma=sigma,
         num_iterations=total_iterations,
         num_correspondences=align.num_correspondences,
-        num_dropped_downsample=frame_ds.num_dropped + source.num_dropped,
+        num_dropped_downsample=num_dropped_downsample,
         num_dropped_map_voxels=(insert_stats.num_dropped_voxels
                                 + align.num_dropped_compact),
+        num_oob_points=insert_stats.num_oob_points,
         used_fallback=~pose_finite,
     )
     return new_state, result
@@ -257,6 +267,30 @@ def register_frame(
 def make_step(config: KISSConfig) -> Callable[..., Tuple[OdometryState, FrameResult]]:
     """Compile `register_frame` for a fixed config (state buffers donated)."""
     fn = functools.partial(register_frame, config)
+    donate = (0,) if config.engine.donate_state else ()
+    return jax.jit(fn, donate_argnums=donate)
+
+
+def rebase_state(config: KISSConfig, state: OdometryState,
+                 shift_vox: jnp.ndarray) -> OdometryState:
+    """Roll the world origin forward by `shift_vox` voxels: the map rebuilds
+    around shifted keys (hash_map.rebase) and the pose translation shifts by
+    the same exactly-representable voxel multiple. `delta` (relative motion)
+    and the adaptive threshold (scalars of relative error) are translation-
+    invariant and untouched. The caller accumulates
+    `shift_vox * voxel_size` into its world-frame origin so reported poses
+    are unchanged — see KissICP.maybe_rebase."""
+    mcfg = map_config(config)
+    new_map, _ = hash_map.rebase(mcfg, state.map,
+                                 shift_vox.astype(jnp.int32))
+    shift_m = shift_vox.astype(jnp.float32) * jnp.float32(mcfg.voxel_size)
+    pose = state.pose.at[:3, 3].add(-shift_m)
+    return state._replace(pose=pose, map=new_map)
+
+
+def make_rebase(config: KISSConfig):
+    """Compile `rebase_state` for a fixed config (state donated)."""
+    fn = functools.partial(rebase_state, config)
     donate = (0,) if config.engine.donate_state else ()
     return jax.jit(fn, donate_argnums=donate)
 
@@ -270,6 +304,7 @@ class ChunkSummary(NamedTuple):
     num_correspondences: jnp.ndarray  # (K,)
     num_dropped_downsample: jnp.ndarray  # (K,)
     num_dropped_map_voxels: jnp.ndarray  # (K,)
+    num_oob_points: jnp.ndarray  # (K,)
     used_fallback: jnp.ndarray  # (K,) bool
 
 
@@ -286,13 +321,13 @@ def make_chunked_step(config: KISSConfig):
             s2, res = register_frame(config, s, p, t, v)
             return s2, (res.pose, res.sigma, res.num_iterations,
                         res.num_correspondences, res.num_dropped_downsample,
-                        res.num_dropped_map_voxels, res.used_fallback)
+                        res.num_dropped_map_voxels, res.num_oob_points,
+                        res.used_fallback)
 
-        state, (poses, sigmas, iters, corr, drop_ds, drop_map, fb) = jax.lax.scan(
-            body, state, (points, timestamps, valid)
-        )
+        state, (poses, sigmas, iters, corr, drop_ds, drop_map, oob, fb) = (
+            jax.lax.scan(body, state, (points, timestamps, valid)))
         return state, ChunkSummary(poses, sigmas, iters, corr, drop_ds,
-                                   drop_map, fb)
+                                   drop_map, oob, fb)
 
     donate = (0,) if config.engine.donate_state else ()
     return jax.jit(chunk, donate_argnums=donate)
@@ -348,6 +383,14 @@ class KissICP:
         # like the downsample/map overflow counters (VERDICT r2 weak #5).
         self.last_input_dropped = 0
         self.total_input_dropped = 0
+        # World origin of the engine's local frame (rolling-origin re-base):
+        # internal state lives near the origin so the map's packed voxel
+        # keys and fixed-point storage stay inside their ±16383-voxel
+        # envelope on arbitrarily long drives; reported poses are
+        # origin + local. Advanced by `maybe_rebase`; float64 so kilometers
+        # of accumulated offset never round.
+        self.origin = np.zeros(3, np.float64)
+        self._rebase_step = None
         self._build()
 
     def _build(self) -> None:
@@ -381,7 +424,14 @@ class KissICP:
         """Returns (deskewed frame, ICP source) as compact numpy arrays,
         mirroring the reference API (kiss_icp.py:43-75)."""
         self.register_frame_lazy(frame, timestamps)
-        return self.last_frame(), self.last_source()
+        out = self.last_frame(), self.last_source()
+        # The frame materialization above already synced the step, so the
+        # envelope check costs one cheap scalar read. (register_frame_lazy
+        # deliberately does NOT auto-rebase: it must stay read-free so
+        # back-to-back dispatches pipeline; lazy drivers call maybe_rebase
+        # at their own materialization points.)
+        self.maybe_rebase()
+        return out
 
     def register_frame_lazy(self, frame, timestamps=None) -> FrameResult:
         """Advance one frame without materializing the point outputs on the
@@ -442,8 +492,13 @@ class KissICP:
         return summary
 
     def summary_poses(self, summary) -> np.ndarray:
-        """Materialize a chunk summary's (K, 4, 4) poses on the host."""
-        return np.asarray(self._summary_poses(summary))
+        """Materialize a chunk summary's (K, 4, 4) world poses on the host
+        (local poses + the rolling origin). Origin only advances at
+        materialization points (maybe_rebase), so every pose in a chunk
+        shares the origin its chunk was dispatched under."""
+        poses = np.asarray(self._summary_poses(summary), np.float64)
+        poses[:, :3, 3] += self.origin
+        return poses
 
     def register_frames_chunked(self, frames, timestamps_list=None) -> np.ndarray:
         """Advance K frames in ONE device execution (lax.scan) and return
@@ -452,7 +507,11 @@ class KissICP:
         chunk instead of once per frame."""
         arrays, dropped = self.build_chunk(frames, timestamps_list)
         summary = self.dispatch_chunk(arrays, dropped)
-        return self.summary_poses(summary)
+        poses = self.summary_poses(summary)
+        # Poses are on the host and nothing is in flight: the natural
+        # envelope checkpoint for the chunked driver.
+        self.maybe_rebase(poses[-1, :3, 3])
+        return poses
 
     def _make_chunk_step(self):
         return make_chunked_step(self.config)
@@ -462,35 +521,83 @@ class KissICP:
         in ChunkSummary, `pose` in the sharded engine's ShardFrameResult)."""
         return summary.poses
 
-    def last_overflow(self) -> Tuple[int, int, int]:
-        """(downsample drops, map-voxel drops, input-point drops) of the last
-        frame — nonzero means `engine.frame_capacity`/`source_capacity`, the
-        map's `capacity_log2`/`probe_length`, or `max_points_per_frame` are
-        undersized for this scene."""
+    def last_overflow(self) -> Tuple[int, int, int, int]:
+        """(downsample voxel drops, map voxel drops, input point drops,
+        out-of-envelope point drops) of the last frame. The first two mean
+        `engine.frame_capacity`/`source_capacity` or the map's
+        `capacity_log2`/`probe_length` are undersized; the third means
+        `max_points_per_frame` is; the fourth means the drive left the
+        ±16383-voxel world envelope without a re-base (should stay zero
+        with `engine.rebase_trigger_voxels` > 0, the default)."""
         res = self.last_result
         return (
             int(np.asarray(res.num_dropped_downsample)),
             int(np.asarray(res.num_dropped_map_voxels)),
             self.last_input_dropped,
+            int(np.asarray(res.num_oob_points)),
         )
+
+    def maybe_rebase(self, world_translation=None) -> bool:
+        """Roll the world origin when the pose approaches the voxel-key
+        envelope (see hash_map.rebase). Cheap no-op until the local pose
+        translation exceeds `engine.rebase_trigger_voxels` voxels
+        (inf-norm); then the map rebuilds around shifted keys, the pose
+        shifts, and `self.origin` absorbs the offset — reported world poses
+        are continuous across the roll.
+
+        Pass an already-materialized world translation (e.g. the last pose
+        of a chunk you just read) to keep the check read-free; with no
+        argument the local pose is read from the device (one scalar d2h).
+        Returns True when a re-base was applied."""
+        trig = int(getattr(self.config.engine, "rebase_trigger_voxels", 0))
+        if trig <= 0:
+            return False
+        v = float(self.config.mapping.voxel_size)
+        if world_translation is None:
+            local_t = np.asarray(self.state.pose, np.float64)[:3, 3]
+        else:
+            local_t = np.asarray(world_translation, np.float64) - self.origin
+        if float(np.max(np.abs(local_t))) < trig * v:
+            return False
+        # Voxel-aligned shift: u16 voxel-relative payloads are bit-identical
+        # under it, f32 payloads shift by an exactly-representable multiple.
+        shift_vox = np.floor(local_t / v).astype(np.int32)
+        self._apply_rebase(shift_vox)
+        self.origin = self.origin + shift_vox.astype(np.float64) * v
+        return True
+
+    def _apply_rebase(self, shift_vox: np.ndarray) -> None:
+        """Run the device re-base on this engine's state (the map-sharded
+        engine overrides this with its cross-shard rebuild)."""
+        if self._rebase_step is None:
+            self._rebase_step = make_rebase(self.config)
+        self.state = self._rebase_step(self.state, jnp.asarray(shift_vox))
 
     def save_checkpoint(self, path) -> None:
         """Persist the full odometry state (pose, motion model, adaptive
-        threshold, local map) for exact resume — see io/checkpoint.py."""
+        threshold, local map) plus the rolling world origin for exact
+        resume — see io/checkpoint.py."""
         from kiss_icp_tpu.io import checkpoint
 
-        checkpoint.save_checkpoint(path, self.state, self.config)
+        checkpoint.save_checkpoint(path, self.state, self.config,
+                                   extras={"origin": self.origin})
 
     def load_checkpoint(self, path) -> None:
         """Restore a state saved by `save_checkpoint` (validated against this
-        instance's config)."""
+        instance's config), including the rolling world origin (absent in
+        pre-rebase checkpoints: origin zero)."""
         from kiss_icp_tpu.io import checkpoint
 
         self.state = checkpoint.load_checkpoint(path, self.config)
+        self.origin = np.asarray(
+            checkpoint.load_extra(path, "origin", np.zeros(3)), np.float64)
 
     @property
     def last_pose(self) -> np.ndarray:
-        return np.asarray(self.state.pose)
+        """World pose of the last frame: local pose + rolling origin."""
+        pose = np.asarray(self.state.pose, np.float64)
+        pose[:3, 3] += self.origin
+        return pose
 
     @property
     def last_delta(self) -> np.ndarray:
@@ -498,4 +605,6 @@ class KissICP:
 
     def local_map_points(self) -> np.ndarray:
         pts, mask = hash_map.extract_points(map_config(self.config), self.state.map)
-        return np.asarray(pts)[np.asarray(mask)]
+        out = np.asarray(pts, np.float64)[np.asarray(mask)]
+        out += self.origin
+        return out

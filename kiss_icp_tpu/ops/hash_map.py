@@ -116,6 +116,12 @@ class VoxelMap(NamedTuple):
     points: jnp.ndarray  # (C, P, 3) float32
     total_points: jnp.ndarray  # () int32
     num_dropped_voxels: jnp.ndarray  # () int32 — voxels lost to probe overflow
+    # POINTS (not voxels) whose world coords left the ±16383-voxel key
+    # envelope (voxel_ops.in_envelope) — its own counter because every other
+    # drop diagnostic counts voxels and mixing units inflated the voxel
+    # figure (advisor r4). Nonzero means the drive needs a rolling-origin
+    # `rebase` (below) — the auto-rebase engines keep this at zero.
+    num_oob_points: jnp.ndarray  # () int32
 
 
 def create_map(cfg: MapConfig) -> VoxelMap:
@@ -127,6 +133,7 @@ def create_map(cfg: MapConfig) -> VoxelMap:
         points=jnp.zeros((c, p, 3), cfg.point_dtype),
         total_points=jnp.zeros((), jnp.int32),
         num_dropped_voxels=jnp.zeros((), jnp.int32),
+        num_oob_points=jnp.zeros((), jnp.int32),
     )
 
 
@@ -375,9 +382,80 @@ def query_nearest_loop(cfg: MapConfig, m: VoxelMap, queries: jnp.ndarray,
     return QueryResult(best_pt, jnp.sqrt(best_d2), found)
 
 
+def _claim_slots(fprints, vkeys, coords, fp, rows, pending0, *,
+                 probe_length: int, capacity: int):
+    """Deterministic free-slot claiming for a batch of new voxels.
+
+    Each pending row tries to claim a free slot in its bucket-aligned probe
+    window through scatter-min "claim rounds" (lowest row index wins a
+    contested slot), so the result is independent of XLA scheduling — the
+    TPU replacement for robin_map's sequential insert. Rows whose window has
+    no free slot, or whose fingerprint would shadow (or be shadowed by) a
+    DIFFERENT voxel's equal-fingerprint entry in the same window, end
+    unassigned (-1) — queries stop at a window's FIRST fingerprint match, so
+    a shadow pair would make one of the two unfindable; refusing the claim
+    keeps it a counted drop instead of a silent hole.
+
+    Shared by `insert` (claims into the live table) and `rebase` (rebuilds
+    into an empty table). Returns (fprints, vkeys, assigned) where
+    `assigned[i]` is the claimed slot or -1.
+    """
+    k, cap = probe_length, capacity
+    v = coords.shape[0]
+    row_ids = jnp.arange(v, dtype=jnp.int32)
+
+    def claim_round(state):
+        fprints, vkeys, pending, assigned, _ = state
+        wfp = _window_fp(fprints, rows, k)  # (V, K)
+        free = wfp == 0
+        any_free = jnp.any(free, axis=-1)
+        tgt_pos = jnp.argmax(free, axis=-1)
+        tgt_slot = (rows << (k.bit_length() - 1)) + tgt_pos
+        attempt = pending & any_free
+        claim_idx = jnp.where(attempt, tgt_slot, cap)  # cap = dropped
+        claims = jnp.full((cap,), v, jnp.int32).at[claim_idx].min(
+            jnp.where(attempt, row_ids, v), mode="drop"
+        )
+        won = attempt & (claims[jnp.minimum(tgt_slot, cap - 1)] == row_ids)
+        fprints = fprints.at[jnp.where(won, tgt_slot, cap)].set(fp, mode="drop")
+        vkeys = vkeys.at[jnp.where(won, tgt_slot, cap)].set(coords, mode="drop")
+        assigned = jnp.where(won, tgt_slot, assigned)
+        # Rows with no free slot anywhere in their window can never win: drop.
+        # A row whose window just gained an equal-fp entry from ANOTHER voxel
+        # (cross-round shadowing) drops too; within one round a window admits
+        # at most one winner (every row attempts the window's first free
+        # slot), so no same-round shadow pair can form.
+        wfp2 = _window_fp(fprints, rows, k)
+        wk2 = vkeys.reshape(cap // k, k, 3)[rows]
+        now_shadowed = jnp.any(
+            (wfp2 == fp[:, None])
+            & ~jnp.all(wk2 == coords[:, None, :], axis=-1),
+            axis=-1,
+        )
+        pending = pending & ~won & any_free & ~now_shadowed
+        return fprints, vkeys, pending, assigned, won
+
+    def claim_cond(state):
+        return jnp.any(state[2])
+
+    # Fresh loop-carry constants inherit pending0's varying-manual-axes type
+    # (shard_map check_vma): `pending0 & False` is all-False but carries the
+    # mesh-varying tag when this runs inside a map-sharded step; in the
+    # single-device path XLA folds it to a constant.
+    won0 = pending0 & False
+    assigned0 = jnp.where(won0, 0, jnp.int32(-1))
+    fprints, vkeys, _, assigned, _ = jax.lax.while_loop(
+        claim_cond, claim_round, (fprints, vkeys, pending0, assigned0, won0)
+    )
+    return fprints, vkeys, assigned
+
+
 class InsertStats(NamedTuple):
     num_added_points: jnp.ndarray  # () int32
     num_dropped_voxels: jnp.ndarray  # () int32 — new voxels with no free slot
+    num_oob_points: jnp.ndarray  # () int32 — input POINTS outside the world
+    #                                envelope (distinct unit from the voxel
+    #                                counters above; advisor r4)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("m",))
@@ -401,7 +479,7 @@ def insert(cfg: MapConfig, m: VoxelMap, points: jnp.ndarray,
     num_oob = jnp.sum(
         (valid & ~voxel_ops.in_envelope(
             voxel_ops.point_to_voxel(points, cfg.voxel_size))
-         ).astype(jnp.int32))
+         ).astype(jnp.int32))  # point count -> InsertStats.num_oob_points
     groups = voxel_ops.group_by_voxel(
         points, valid, voxel_size=cfg.voxel_size, group_capacity=cfg.group_capacity
     )
@@ -428,56 +506,12 @@ def insert(cfg: MapConfig, m: VoxelMap, points: jnp.ndarray,
     # a silent hole.
     shadowed = jnp.any(fp_match & ~key_match, axis=-1)
 
-    # --- Phase B: claim free slots for new voxels (deterministic rounds).
-    row_ids = jnp.arange(v, dtype=jnp.int32)
-
-    def claim_round(state):
-        fprints, vkeys, pending, assigned, _ = state
-        wfp = _window_fp(fprints, rows, k)  # (V, K)
-        free = wfp == 0
-        any_free = jnp.any(free, axis=-1)
-        tgt_pos = jnp.argmax(free, axis=-1)
-        tgt_slot = (rows << (k.bit_length() - 1)) + tgt_pos
-        attempt = pending & any_free
-        claim_idx = jnp.where(attempt, tgt_slot, cap)  # cap = dropped
-        claims = jnp.full((cap,), v, jnp.int32).at[claim_idx].min(
-            jnp.where(attempt, row_ids, v), mode="drop"
-        )
-        won = attempt & (claims[jnp.minimum(tgt_slot, cap - 1)] == row_ids)
-        fprints = fprints.at[jnp.where(won, tgt_slot, cap)].set(
-            fp, mode="drop"
-        )
-        vkeys = vkeys.at[jnp.where(won, tgt_slot, cap)].set(groups.coords, mode="drop")
-        assigned = jnp.where(won, tgt_slot, assigned)
-        # Rows with no free slot anywhere in their window can never win: drop.
-        # A row whose window just gained an equal-fp entry from ANOTHER voxel
-        # (cross-round shadowing) drops too; within one round a window admits
-        # at most one winner (every row attempts the window's first free
-        # slot), so no same-round shadow pair can form.
-        wfp2 = _window_fp(fprints, rows, k)
-        wk2 = vkeys.reshape(cap // k, k, 3)[rows]
-        now_shadowed = jnp.any(
-            (wfp2 == fp[:, None])
-            & ~jnp.all(wk2 == groups.coords[:, None, :], axis=-1),
-            axis=-1,
-        )
-        pending = pending & ~won & any_free & ~now_shadowed
-        return fprints, vkeys, pending, assigned, won
-
-    def claim_cond(state):
-        return jnp.any(state[2])
-
+    # --- Phase B: claim free slots for new voxels (deterministic rounds;
+    # shared machinery with `rebase` — see _claim_slots).
     pending0 = gvalid & ~has_existing & ~shadowed
-    # Fresh loop-carry constants inherit pending0's varying-manual-axes type
-    # (shard_map check_vma): `pending0 & False` is all-False but carries the
-    # mesh-varying tag when insert runs inside a map-sharded step; in the
-    # single-device path XLA folds it to a constant.
-    won0 = pending0 & False
-    assigned0 = jnp.where(won0, 0, jnp.int32(-1))
-    fprints, vkeys, pending, assigned, _ = jax.lax.while_loop(
-        claim_cond,
-        claim_round,
-        (m.fprints, m.vkeys, pending0, assigned0, won0),
+    fprints, vkeys, assigned = _claim_slots(
+        m.fprints, m.vkeys, groups.coords, fp, rows, pending0,
+        probe_length=k, capacity=cap,
     )
     dropped = jnp.sum((gvalid & ~has_existing & (assigned < 0)).astype(jnp.int32))
 
@@ -513,7 +547,8 @@ def insert(cfg: MapConfig, m: VoxelMap, points: jnp.ndarray,
         added = added + jnp.sum(accept.astype(jnp.int32)).astype(jnp.int32)
         return stored, cnt, added
 
-    added0 = jnp.where(jnp.any(won0), 0, 0)  # 0 with pending0's varying type
+    # 0 carrying pending0's varying-manual-axes type (see _claim_slots note).
+    added0 = jnp.sum((pending0 & False).astype(jnp.int32))
     stored, cnt, added = jax.lax.fori_loop(
         0, cfg.group_capacity, accept_step, (stored, cnt, added0)
     )
@@ -531,9 +566,10 @@ def insert(cfg: MapConfig, m: VoxelMap, points: jnp.ndarray,
         counts=new_counts,
         points=new_points,
         total_points=m.total_points + added,
-        num_dropped_voxels=m.num_dropped_voxels + dropped + num_oob,
+        num_dropped_voxels=m.num_dropped_voxels + dropped,
+        num_oob_points=m.num_oob_points + num_oob,
     )
-    return new_map, InsertStats(added, dropped + num_oob)
+    return new_map, InsertStats(added, dropped, num_oob)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("m",))
@@ -551,6 +587,76 @@ def trim(cfg: MapConfig, m: VoxelMap, origin: jnp.ndarray) -> VoxelMap:
         counts=jnp.where(keep, m.counts, 0),
         total_points=m.total_points - removed,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("m",))
+def rebase(cfg: MapConfig, m: VoxelMap,
+           shift_vox: jnp.ndarray) -> Tuple[VoxelMap, jnp.ndarray]:
+    """Shift the map's world origin by `shift_vox` voxels: every stored voxel
+    key moves to `key - shift_vox` and the table is rebuilt around the new
+    keys.
+
+    The rolling-origin re-base that keeps arbitrarily long drives inside the
+    ±16383-voxel key envelope (voxel_ops.in_envelope): the reference's
+    robin_map keys are unbounded int32 per axis (VoxelUtils.hpp:32-41) so it
+    never needs this; our packed sort keys and fixed-point storage buy their
+    bandwidth with a bounded world, and this restores the unbounded-drive
+    capability. Called between frames by the engine wrappers when the pose
+    approaches the envelope (`odometry.KissICP.maybe_rebase`) — the caller
+    shifts the pose by `-shift_vox * voxel_size` and accumulates the offset
+    for reporting.
+
+    `shift_vox` must be voxel-ALIGNED (int32 (3,)): u16 voxel-relative
+    offsets are then bit-identical under the shift, and f32 absolute points
+    shift by an exactly-representable voxel multiple. Slot placement depends
+    on the key hash, so live voxels re-claim slots in a fresh table through
+    the same deterministic claim rounds as `insert`; with the production
+    load factor (~0.1) re-claim drops are vanishingly rare, but any are
+    counted into `num_dropped_voxels` (and returned) — same loud-surfacing
+    contract as every other capacity event.
+
+    Returns (rebased map, voxels dropped during the rebuild).
+    """
+    cap = cfg.capacity
+    k = cfg.probe_length
+
+    live = m.counts > 0
+    new_coords = m.vkeys - shift_vox[None, :].astype(jnp.int32)
+    fp = fingerprint(new_coords)
+    rows = window_row(new_coords, cfg.capacity_log2, k)
+
+    fprints, vkeys, assigned = _claim_slots(
+        jnp.zeros_like(m.fprints), jnp.zeros_like(m.vkeys),
+        new_coords, fp, rows, live, probe_length=k, capacity=cap,
+    )
+    dropped = live & (assigned < 0)
+    n_dropped_voxels = jnp.sum(dropped.astype(jnp.int32))
+    n_dropped_points = jnp.sum(jnp.where(dropped, m.counts, 0))
+
+    # Move each surviving old slot's row to its claimed new slot. The point
+    # payload shifts with the origin for absolute (f32) storage and is
+    # untouched for voxel-relative (u16) storage.
+    if cfg.storage == "f32":
+        shifted = m.points - (shift_vox.astype(jnp.float32)
+                              * jnp.float32(cfg.voxel_size))[None, None, :]
+    else:
+        shifted = m.points
+    write_idx = jnp.where(assigned >= 0, assigned, cap)
+    new_points = jnp.zeros_like(m.points).at[write_idx].set(
+        shifted, mode="drop")
+    new_counts = jnp.zeros_like(m.counts).at[write_idx].set(
+        m.counts, mode="drop")
+
+    new_map = VoxelMap(
+        vkeys=vkeys,
+        fprints=fprints,
+        counts=new_counts,
+        points=new_points,
+        total_points=m.total_points - n_dropped_points,
+        num_dropped_voxels=m.num_dropped_voxels + n_dropped_voxels,
+        num_oob_points=m.num_oob_points,
+    )
+    return new_map, n_dropped_voxels
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -94,6 +94,7 @@ class PodState(NamedTuple):
     points: jnp.ndarray  # (B, C, P, 3)
     total_points: jnp.ndarray  # (B, D)
     num_dropped_voxels: jnp.ndarray  # (B, D)
+    num_oob_points: jnp.ndarray  # (B, D)
 
 
 def pod_state_specs() -> PodState:
@@ -103,7 +104,7 @@ def pod_state_specs() -> PodState:
         pose=rep, delta=rep,
         threshold=threshold.ThresholdState(rep, rep, rep),
         vkeys=shd, fprints=shd, counts=shd, points=shd,
-        total_points=shd, num_dropped_voxels=shd,
+        total_points=shd, num_dropped_voxels=shd, num_oob_points=shd,
     )
 
 
@@ -143,6 +144,8 @@ def init_pod_state(config: KISSConfig, mesh: Mesh, batch: int) -> PodState:
         total_points=put(jnp.zeros((b, d), jnp.int32), P(SEQ_AXIS, MAP_AXIS)),
         num_dropped_voxels=put(jnp.zeros((b, d), jnp.int32),
                                P(SEQ_AXIS, MAP_AXIS)),
+        num_oob_points=put(jnp.zeros((b, d), jnp.int32),
+                           P(SEQ_AXIS, MAP_AXIS)),
     )
 
 
@@ -150,8 +153,15 @@ def init_pod_state(config: KISSConfig, mesh: Mesh, batch: int) -> PodState:
 # the fields are identical by construction, so the per-sequence view and its
 # inverse are positional splats (a field added to one class without the
 # other now fails loudly here instead of silently desynchronizing two
-# hand-maintained copy lists — code-review r4c).
-assert PodState._fields == ShardedMapState._fields
+# hand-maintained copy lists — code-review r4c). An explicit raise, not
+# `assert`: `python -O` strips asserts, and this guard protects runtime
+# state integrity (advisor r4).
+if PodState._fields != ShardedMapState._fields:  # pragma: no cover
+    raise ImportError(
+        "PodState and ShardedMapState field lists diverged: "
+        f"{PodState._fields} vs {ShardedMapState._fields}; the positional "
+        "splats in _per_seq_state/_to_pod_state require exact parity"
+    )
 
 
 def _per_seq_state(state: PodState) -> ShardedMapState:

@@ -109,9 +109,89 @@ class ShardedKissICP(odometry.KissICP):
             total_points=jnp.sum(self.state.total_points).astype(jnp.int32),
             num_dropped_voxels=jnp.sum(
                 self.state.num_dropped_voxels).astype(jnp.int32),
+            num_oob_points=jnp.sum(
+                self.state.num_oob_points).astype(jnp.int32),
         )
         pts, mask = hash_map.extract_points(mcfg, m)
-        return np.asarray(pts)[np.asarray(mask)]
+        out = np.asarray(pts, np.float64)[np.asarray(mask)]
+        out += self.origin
+        return out
+
+    def _apply_rebase(self, shift_vox: np.ndarray) -> None:
+        """Cross-shard rolling-origin re-base (see hash_map.rebase for the
+        single-device contract). Shifted keys re-hash to DIFFERENT owning
+        shards (sharded_map.shard_of hashes the key), so the rebuild is a
+        cross-shard exchange; at re-base cadence — once per
+        `rebase_trigger_voxels` of travel, kilometers apart — a host
+        round-trip of the map tensors is simpler and safer than a device
+        all-gather that would transiently materialize the full map on every
+        device of an engine whose purpose is maps too big per device.
+
+        Placement is deterministic (ascending old global slot order mirrors
+        the device claim rounds' lowest-row-wins) and preserves u16 payload
+        rows bit-exactly (voxel-relative offsets are shift-invariant)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mcfg_local = sharded_map.local_map_config(self.config, self._mesh)
+        d = self._mesh.shape[MAP_AXIS]
+        cl, k = mcfg_local.capacity, mcfg_local.probe_length
+        v = float(mcfg_local.voxel_size)
+
+        vkeys = np.asarray(self.state.vkeys)
+        counts = np.asarray(self.state.counts)
+        points = np.asarray(self.state.points)
+        new_keys = vkeys - shift_vox[None, :].astype(np.int32)
+        if mcfg_local.storage == "f32":
+            points = points - (shift_vox.astype(np.float32) * np.float32(v))[
+                None, None, :]
+        live_idx = np.flatnonzero(counts > 0)
+        keys_live = new_keys[live_idx]
+        shard = np.asarray(sharded_map.shard_of(jnp.asarray(keys_live), d))
+        fp = np.asarray(hash_map.fingerprint(jnp.asarray(keys_live)))
+        rows = np.asarray(hash_map.window_row(
+            jnp.asarray(keys_live), mcfg_local.capacity_log2, k))
+
+        out_vkeys = np.zeros_like(vkeys)
+        out_fp = np.zeros(d * cl, np.int32)
+        out_counts = np.zeros(d * cl, np.int32)
+        out_points = np.zeros_like(points)
+        totals = np.zeros(d, np.int64)
+        dropped = 0
+        for j, old_slot in enumerate(live_idx):
+            base = int(shard[j]) * cl + int(rows[j]) * k
+            window = out_fp[base:base + k]
+            if np.any((window == fp[j])):
+                dropped += 1  # fingerprint shadow pair: counted drop
+                continue
+            free = np.flatnonzero(window == 0)
+            if len(free) == 0:
+                dropped += 1  # window overflow after re-hash: counted drop
+                continue
+            slot = base + int(free[0])
+            out_fp[slot] = fp[j]
+            out_vkeys[slot] = keys_live[j]
+            out_counts[slot] = counts[old_slot]
+            out_points[slot] = points[old_slot]
+            totals[int(shard[j])] += int(counts[old_slot])
+
+        pose = np.asarray(self.state.pose, np.float64)
+        pose[:3, 3] -= shift_vox.astype(np.float64) * v
+        old_drops = np.asarray(self.state.num_dropped_voxels).copy()
+        old_drops[0] += dropped
+
+        def put(x, spec):
+            return jax.device_put(np.asarray(x),
+                                  NamedSharding(self._mesh, spec))
+
+        self.state = self.state._replace(
+            pose=put(pose.astype(np.float32), P()),
+            vkeys=put(out_vkeys, P(MAP_AXIS)),
+            fprints=put(out_fp, P(MAP_AXIS)),
+            counts=put(out_counts, P(MAP_AXIS)),
+            points=put(out_points, P(MAP_AXIS)),
+            total_points=put(totals.astype(np.int32), P(MAP_AXIS)),
+            num_dropped_voxels=put(old_drops, P(MAP_AXIS)),
+        )
 
     def shard_occupancy(self) -> np.ndarray:
         """(D,) live-voxel count per shard — load-balance diagnostic."""

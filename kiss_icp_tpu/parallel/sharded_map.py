@@ -73,6 +73,7 @@ class ShardedMapState(NamedTuple):
     points: jnp.ndarray  # (C, P, 3)
     total_points: jnp.ndarray  # (D,) int32 per-shard totals
     num_dropped_voxels: jnp.ndarray  # (D,) int32 per-shard drop counts
+    num_oob_points: jnp.ndarray  # (D,) int32 per-shard out-of-envelope points
 
 
 def _shard_log2(mesh: Mesh) -> int:
@@ -119,6 +120,7 @@ def init_sharded_state(config: KISSConfig, mesh: Mesh) -> ShardedMapState:
         points=jax.device_put(jnp.zeros((c, p, 3), mcfg.point_dtype), shd),
         total_points=jax.device_put(jnp.zeros((d,), jnp.int32), shd),
         num_dropped_voxels=jax.device_put(jnp.zeros((d,), jnp.int32), shd),
+        num_oob_points=jax.device_put(jnp.zeros((d,), jnp.int32), shd),
     )
 
 
@@ -161,6 +163,7 @@ class ShardFrameResult(NamedTuple):
     num_correspondences: jnp.ndarray  # () int32 — at convergence
     num_dropped_downsample: jnp.ndarray  # () int32
     num_dropped_map_voxels: jnp.ndarray  # () int32 — summed over shards
+    num_oob_points: jnp.ndarray  # () int32 — summed over shards
     used_fallback: jnp.ndarray  # () bool
     # Point outputs for the visualizer / reference register_frame API
     # (kiss_icp.py:43-75 returns (frame, keypoints)). Populated only when the
@@ -208,6 +211,7 @@ def frame_step_shard(
         points=state.points,
         total_points=state.total_points[0],
         num_dropped_voxels=state.num_dropped_voxels[0],
+        num_oob_points=state.num_oob_points[0],
     )
 
     # 1.-2. Deskew + crop + double downsample: replicated, deterministic.
@@ -301,7 +305,11 @@ def frame_step_shard(
         mcfg_local, m, world_points, frame_ds.valid & own
     )
     new_map = hash_map.trim(mcfg_local, new_map, new_pose[:3, 3])
-    dropped_map = jax.lax.psum(ins.num_dropped_voxels, MAP_AXIS)
+    # One stacked psum for both scalar drop counters (a second scalar
+    # all-reduce would only add a collective for no payload).
+    drops = jax.lax.psum(
+        jnp.stack([ins.num_dropped_voxels, ins.num_oob_points]), MAP_AXIS)
+    dropped_map, oob_points = drops[0], drops[1]
 
     new_state = ShardedMapState(
         pose=new_pose,
@@ -313,6 +321,7 @@ def frame_step_shard(
         points=new_map.points,
         total_points=new_map.total_points.reshape(1),
         num_dropped_voxels=new_map.num_dropped_voxels.reshape(1),
+        num_oob_points=new_map.num_oob_points.reshape(1),
     )
     result = ShardFrameResult(
         pose=new_pose,
@@ -321,6 +330,7 @@ def frame_step_shard(
         num_correspondences=n_corr,
         num_dropped_downsample=frame_ds.num_dropped + source.num_dropped,
         num_dropped_map_voxels=dropped_map,
+        num_oob_points=oob_points,
         used_fallback=~pose_finite & ~global_empty,
         frame_points=prep.points if with_points else None,
         frame_valid=prep.valid if with_points else None,
@@ -338,7 +348,7 @@ def state_specs() -> ShardedMapState:
         pose=rep, delta=rep,
         threshold=threshold.ThresholdState(rep, rep, rep),
         vkeys=shd, fprints=shd, counts=shd, points=shd,
-        total_points=shd, num_dropped_voxels=shd,
+        total_points=shd, num_dropped_voxels=shd, num_oob_points=shd,
     )
 
 
@@ -348,7 +358,7 @@ def result_specs(with_points: bool = False) -> ShardFrameResult:
     (must mirror the result the traced step actually returns)."""
     rep = P()
     pts = rep if with_points else None
-    return ShardFrameResult(rep, rep, rep, rep, rep, rep, rep,
+    return ShardFrameResult(rep, rep, rep, rep, rep, rep, rep, rep,
                             pts, pts, pts, pts)
 
 

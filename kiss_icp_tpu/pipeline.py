@@ -77,9 +77,11 @@ class OdometryPipeline:
         self.total_dropped_downsample = 0
         self.total_dropped_map_voxels = 0
         self.total_dropped_input = 0
+        self.total_dropped_oob = 0
         self._warned_overflow_downsample = False
         self._warned_overflow_map = False
         self._warned_overflow_input = False
+        self._warned_overflow_oob = False
 
         if visualizer is None:
             from kiss_icp_tpu.tools.visualizer import StubVisualizer
@@ -155,6 +157,9 @@ class OdometryPipeline:
             self.poses[i] = pose
             self.exec_times[i] = t1 - t0
             self._check_overflow(*self.odometry.last_overflow())
+            # Rolling-origin envelope check: the pose was just materialized,
+            # so the check is read-free (see odometry.KissICP.maybe_rebase).
+            self.odometry.maybe_rebase(pose[:3, 3])
             self._maybe_checkpoint(i + 1)
             if not headless:
                 self.visualizer.update(
@@ -219,7 +224,13 @@ class OdometryPipeline:
                 int(np.sum(np.asarray(summary.num_dropped_downsample))),
                 int(np.sum(np.asarray(summary.num_dropped_map_voxels))),
                 in_drop,
+                int(np.sum(np.asarray(summary.num_oob_points))),
             )
+            # Rolling-origin envelope check at the chunk boundary: the
+            # chunk's poses are on the host and nothing is in flight (the
+            # next chunk is packed but not yet dispatched), so a re-base
+            # here never races a dispatched program.
+            self.odometry.maybe_rebase(self.poses[i0 + k - 1, :3, 3])
             done += k
             self._maybe_checkpoint(done)
             try:
@@ -232,7 +243,7 @@ class OdometryPipeline:
             pass
 
     def _check_overflow(self, dropped_downsample: int, dropped_map: int,
-                        dropped_input: int = 0):
+                        dropped_input: int = 0, dropped_oob: int = 0):
         """Surface silent capacity overflow: the reference's std::vector-backed
         structures are unbounded (VoxelHashMap.cpp:97-119); our fixed-shape
         buffers drop on overflow, which degrades accuracy and MUST be loud."""
@@ -259,6 +270,19 @@ class OdometryPipeline:
                 f"voxel downsample dropped {dropped_downsample} voxels this "
                 "frame: raise engine.frame_capacity / engine.source_capacity "
                 "(accuracy degrades silently otherwise)",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+        self.total_dropped_oob += dropped_oob
+        if dropped_oob and not self._warned_overflow_oob:
+            self._warned_overflow_oob = True
+            import warnings
+
+            warnings.warn(
+                f"{dropped_oob} points fell outside the ±16383-voxel world "
+                "envelope this frame — the drive outran the rolling-origin "
+                "re-base. Enable/lower engine.rebase_trigger_voxels (0 "
+                "disables auto-rebase) so the map follows the trajectory.",
                 RuntimeWarning,
                 stacklevel=3,
             )
@@ -326,6 +350,11 @@ class OdometryPipeline:
             self.results.append(
                 desc="Dropped input points (max_points_per_frame)", units="count",
                 value=self.total_dropped_input,
+            )
+        if self.total_dropped_oob:
+            self.results.append(
+                desc="Dropped points (world envelope)", units="count",
+                value=self.total_dropped_oob,
             )
 
     # --- Output writing (reference pipeline.py:115-169,194-217) -----------

@@ -361,7 +361,11 @@ def test_world_envelope_overflow_is_a_counted_drop_not_aliasing():
     m, s1 = hm.insert(cfg, m, jnp.asarray(near), jnp.ones(1, bool))
     assert int(s1.num_dropped_voxels) == 0
     m, s2 = hm.insert(cfg, m, jnp.asarray(far), jnp.ones(1, bool))
-    assert int(s2.num_dropped_voxels) == 1  # out of envelope: loud drop
+    # Out of envelope: loud POINT-unit drop (its own counter — the voxel
+    # counters keep one unit, advisor r4), and no voxel-counter pollution.
+    assert int(s2.num_oob_points) == 1
+    assert int(s2.num_dropped_voxels) == 0
+    assert int(m.num_oob_points) == 1
     assert int(m.total_points) == 1  # nothing stored for the far point
 
     # The near voxel still answers with ITS point only — no phantom from
