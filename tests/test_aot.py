@@ -93,3 +93,33 @@ def test_aot_version_check(tmp_path):
                                            dtype=_np.uint8))
     with pytest.raises(ValueError, match="format"):
         aot.load_step(art)
+
+
+def test_aot_chunked_roundtrip_matches_live_chunked(tmp_path):
+    """The K-frame chunked export (the production execution shape,
+    VERDICT r4 next #6) reproduces the live chunked step bit-for-bit
+    through disk."""
+    cfg = _config()
+    k = 4
+    art = tmp_path / "chunked.kiss_aot.npz"
+    aot.save_step(art, cfg, chunk=k)
+    step, meta = aot.load_step(art)
+    assert meta["aot_chunk"] == k
+
+    frames = _scans(k)
+    n = cfg.engine.max_points_per_frame
+    pts = np.zeros((k, n, 3), np.float32)
+    ts = np.zeros((k, n), np.float32)
+    valid = np.zeros((k, n), bool)
+    for i, f in enumerate(frames):
+        pts[i], ts[i], valid[i] = _pad(cfg, f)
+
+    state, summary = step(odometry.init_state(cfg), pts, ts, valid)
+    live = odometry.make_chunked_step(cfg)
+    lstate, lsummary = live(odometry.init_state(cfg), pts, ts, valid)
+    np.testing.assert_array_equal(np.asarray(summary.poses),
+                                  np.asarray(lsummary.poses))
+    np.testing.assert_array_equal(np.asarray(state.pose),
+                                  np.asarray(lstate.pose))
+    np.testing.assert_array_equal(np.asarray(state.map.points),
+                                  np.asarray(lstate.map.points))
