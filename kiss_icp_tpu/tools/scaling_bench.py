@@ -63,13 +63,56 @@ def _frames(b, k, n, seed=0):
     return pts, np.zeros((k, b, n), np.float32), np.ones((k, b, n), bool)
 
 
-def child(n_devices: int, batch: int, k: int, use_pod: bool) -> dict:
+def _drive_frames(b, k, n):
+    """Windows of the CACHED bench soak drive (real rendered scans), one
+    60-frame offset per sequence, stride-subsampled to the n-point cap —
+    so the composed pod program is re-measured on the same drive the TPU
+    soak child runs (VERDICT r4 next #7), not on a synthetic point cloud.
+    Returns None when no bench cache is present (tests, cold machines)."""
+    import importlib
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    try:
+        bench = importlib.import_module("bench")
+    except ImportError:
+        return None
+    if not (hasattr(bench, "_scans") and hasattr(bench, "_scan_cache_ready")):
+        return None
+    if not bench._scan_cache_ready(bench._config(), 240):
+        return None
+    from kiss_icp_tpu.odometry import subsample_to_capacity
+
+    _, cpts, cts, cvalid = bench._scans(bench._config(), 240)
+    pts = np.zeros((k, b, n, 3), np.float32)
+    ts = np.zeros((k, b, n), np.float32)
+    valid = np.zeros((k, b, n), bool)
+    for i in range(b):
+        o = (60 * i) % (cpts.shape[0] - k)
+        for j in range(k):
+            full = cpts[o + j][cvalid[o + j]]
+            stamps = cts[o + j][cvalid[o + j]]
+            f, t, _ = subsample_to_capacity(full, stamps, n)
+            m = len(f)
+            pts[j, i, :m] = f
+            if t is not None and len(t) == m:
+                ts[j, i, :m] = t
+            valid[j, i, :m] = True
+    return pts, ts, valid
+
+
+def child(n_devices: int, batch: int, k: int, use_pod: bool,
+          use_drive: bool = False) -> dict:
     import jax
 
     assert len(jax.devices()) == n_devices, (len(jax.devices()), n_devices)
     cfg = _child_config()
     n = cfg.engine.max_points_per_frame
-    pts, ts, valid = _frames(batch, k, n)
+    data3 = _drive_frames(batch, k, n) if use_drive else None
+    drive_used = data3 is not None
+    pts, ts, valid = data3 if drive_used else _frames(batch, k, n)
 
     if use_pod:
         # Composed ("seq", "map") program: map axis 2, rest sequences.
@@ -111,12 +154,16 @@ def child(n_devices: int, batch: int, k: int, use_pod: bool) -> dict:
     compile_s = time.perf_counter() - t0
 
     best = 0.0
+    st = None
     for _ in range(3):
         st = fresh()
         t0 = time.perf_counter()
-        run(st)
+        st = run(st)
         dt = time.perf_counter() - t0
         best = max(best, batch * k / dt)
+    # Final per-sequence poses, for the parent's cross-mesh parity check
+    # (CPU mesh — no tunnel read poisoning to worry about).
+    poses = np.asarray(st.pose, np.float64).reshape(batch, 4, 4)
     return {
         "devices": n_devices,
         "batch": batch,
@@ -124,6 +171,8 @@ def child(n_devices: int, batch: int, k: int, use_pod: bool) -> dict:
         "seq_frames_per_s": round(best, 2),
         "compile_s": round(compile_s, 1),
         "program": "pod(seq,map)" if use_pod else "batched(seq)",
+        "drive": drive_used,
+        "final_translations": np.round(poses[:, :3, 3], 6).tolist(),
     }
 
 
@@ -135,6 +184,10 @@ def main(argv=None) -> int:
     ap.add_argument("--devices", default="1,2,4,8")
     ap.add_argument("--pod", action="store_true",
                     help="measure the composed (seq, map) pod program")
+    ap.add_argument("--drive", action="store_true",
+                    help="use windows of the cached bench soak drive (real "
+                         "scans) instead of the synthetic cloud, and check "
+                         "cross-mesh pose parity")
     args = ap.parse_args(argv)
 
     if _CHILD_ENV in os.environ:
@@ -146,7 +199,7 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", "cpu")
         n = int(os.environ[_CHILD_ENV])
-        out = child(n, args.batch, args.frames, args.pod)
+        out = child(n, args.batch, args.frames, args.pod, args.drive)
         print(json.dumps(out), flush=True)
         return 0
 
@@ -173,6 +226,8 @@ def main(argv=None) -> int:
                "--batch", str(args.batch), "--frames", str(args.frames)]
         if args.pod:
             cmd.append("--pod")
+        if args.drive:
+            cmd.append("--drive")
         proc = subprocess.run(cmd, env=env, capture_output=True, text=True,
                               timeout=1800)
         line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
@@ -207,6 +262,25 @@ def main(argv=None) -> int:
         key = f"vs_{smallest['devices']}dev"
         for r in ok:
             r[key] = round(r["seq_frames_per_s"] / base, 3)
+    # Cross-mesh pose parity: every mesh size ran the SAME sequences, so the
+    # final per-sequence translations must agree within the documented f32
+    # re-association band regardless of how the map was sharded (the pod's
+    # sharded insert/query are bit-different programs, not bit-different
+    # answers). Surfaces silent distributed-correctness drift each round
+    # (VERDICT r4 next #7).
+    withposes = [r for r in ok if r.get("final_translations")]
+    if len(withposes) >= 2:
+        ref = np.asarray(withposes[0]["final_translations"])
+        parity = max(
+            float(np.max(np.abs(np.asarray(r["final_translations"]) - ref)))
+            for r in withposes[1:]
+        )
+        summary["parity_max_m"] = round(parity, 6)
+        summary["parity_band_m"] = 0.005
+        summary["parity_ok"] = bool(parity <= 0.005)
+        print(f"cross-mesh pose parity: max |dt| = {parity:.2e} m "
+              f"(band 5e-3) -> {'OK' if summary['parity_ok'] else 'FAIL'}",
+              file=sys.stderr)
     print(json.dumps(summary), flush=True)
     if args.out:
         with open(args.out, "w") as f:
