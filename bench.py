@@ -35,11 +35,21 @@ All other measurements go to stderr as diagnostics:
   * batched    — B independent sequences in lockstep (BASELINE "all sequences
                  in parallel"); timing only, results validated on the CPU mesh
                  (large-output d2h reads fault through the dev tunnel).
-  * soak       — 240-frame drive in 24-frame chunks: steady-state fps with the
-                 map at full occupancy + trim churn, fps-vs-fill curve.
-  * aot        — the deployment artifact: jax.export'ed step deserialized and
-                 driven per-frame (io/aot.py), proving the serving story on HW.
-  * streaming  — chunk=1: per-frame dispatch latency, the ROS node's shape.
+  * soak       — 600-frame drive (240 fallback) in 24-frame chunks:
+                 steady-state fps with the map at full occupancy + trim
+                 churn, long-horizon KITTI-protocol accuracy (>= 40
+                 segments at 600 frames).
+  * soak_ab    — full-occupancy NN-strategy A/B in the soak configuration
+                 (the young-map `ab` matrix cannot predict the full-map
+                 winner; the soak default is set from THIS table).
+  * aot        — the deployment artifacts: jax.export'ed chunked
+                 (production-shape) and per-frame programs deserialized and
+                 driven on HW (io/aot.py).
+  * streaming  — chunk=1: per-frame dispatch latency, the ROS node's shape
+                 (>= 200 frames, re-rolled like every other child).
+  * robust     — accuracy-only HW evidence: checkpoint-resume bit-equality
+                 mid-drive + the rolling-origin re-base crossing the world
+                 envelope with zero drops.
 
 Measurement discipline for the development tunnel (docs/ARCHITECTURE.md):
 each mode runs in its own child process with a hard timeout (the tunnel
@@ -68,8 +78,36 @@ N_FRAMES = 14
 FAST_DRAW_FPS = 1400.0
 # Wall-clock kept back from the budget for the final emit + summary writes.
 RESERVE_S = 40.0
-# TPU v5e peak HBM bandwidth (public spec), for the roofline field.
-PEAK_HBM_BYTES_PER_S = 819e9
+# Peak HBM bandwidth by device kind (public specs), for the roofline field.
+# Matched by longest prefix of jax.devices()[0].device_kind; unknown kinds
+# fall back to the v5e figure and the soak output records which chip/peak
+# was assumed so the published hbm_utilization_pct stays interpretable on
+# any generation (advisor r4: the old hardcoded v5e constant was silently
+# wrong elsewhere).
+_PEAK_HBM_BY_KIND = {
+    "TPU v2": 700e9,
+    "TPU v3": 900e9,
+    "TPU v4": 1228e9,
+    "TPU v5 lite": 819e9,   # v5e
+    "TPU v5e": 819e9,
+    "TPU v5": 2765e9,       # v5p (prefix shorter than the lite entries)
+    "TPU v5p": 2765e9,
+    "TPU v6 lite": 1640e9,  # v6e / Trillium
+    "TPU v6e": 1640e9,
+}
+_FALLBACK_HBM = ("v5e (assumed: unknown device kind)", 819e9)
+
+
+def peak_hbm_bytes_per_s():
+    """(chip label, peak bytes/s) for the first visible device."""
+    import jax
+
+    kind = str(jax.devices()[0].device_kind)
+    best = max((k for k in _PEAK_HBM_BY_KIND if kind.startswith(k)),
+               key=len, default=None)
+    if best is None:
+        return _FALLBACK_HBM
+    return kind, _PEAK_HBM_BY_KIND[best]
 
 
 def assoc_bytes_per_iteration(cfg) -> int:
@@ -430,32 +468,52 @@ def child_batched() -> dict:
     except Exception as e:  # soak cache shape mismatch etc: keep broadcast
         log(f"batched: falling back to identical sequences ({e})")
 
+    # Re-rolls per layout (VERDICT r4 next #9: the vmap-vs-map comparison
+    # inverted round 3's rationale on single unre-rolled draws — resolve it
+    # with the same draw discipline the headline gets, then publish the
+    # measured winner; the batched product default follows the data, see
+    # parallel/batch.py seq_mode).
+    deadline = time.monotonic() + float(
+        os.environ.get("KISS_BENCH_CHILD_BUDGET_S", "420"))
+    healthy_seq_fps = 1250.0
     result = {"mode": "batched", "batch": b}
     best_any = 0.0
     for seq_mode in ("vmap", "map"):
-        bchunk = make_batched_chunked_step(cfg, seq_mode=seq_mode)
-        log(f"compiling batched[{seq_mode}]...")
-        t0 = time.perf_counter()
-        bstate = init_batched_state(cfg, b)
-        bstate, bposes = bchunk(bstate, bpts, bts, bvalid)
-        jax.block_until_ready(bposes)
-        log(f"batched[{seq_mode}] compile+first: {time.perf_counter() - t0:.1f}s")
-
         best = 0.0
-        for rnd in range(3):
-            st = init_batched_state(cfg, b)
+        for subsalt in range(2):
+            scfg = _config(subsalt=subsalt)
+            bchunk = make_batched_chunked_step(scfg, seq_mode=seq_mode)
+            log(f"compiling batched[{seq_mode}] (program {subsalt})...")
             t0 = time.perf_counter()
-            st, bposes = bchunk(st, bpts, bts, bvalid)
+            bstate = init_batched_state(scfg, b)
+            bstate, bposes = bchunk(bstate, bpts, bts, bvalid)
             jax.block_until_ready(bposes)
-            dt = time.perf_counter() - t0
-            sfps = b * N_FRAMES / dt
-            log(f"batched[{seq_mode}] round {rnd}: {dt*1e3:.1f} ms for "
-                f"{b * N_FRAMES} sequence-frames -> {sfps:.1f} seq-frames/s")
-            best = max(best, sfps)
+            log(f"batched[{seq_mode}] compile+first: "
+                f"{time.perf_counter() - t0:.1f}s")
+
+            for rnd in range(3):
+                st = init_batched_state(scfg, b)
+                t0 = time.perf_counter()
+                st, bposes = bchunk(st, bpts, bts, bvalid)
+                jax.block_until_ready(bposes)
+                dt = time.perf_counter() - t0
+                sfps = b * N_FRAMES / dt
+                log(f"batched[{seq_mode}] round {subsalt}.{rnd}: "
+                    f"{dt*1e3:.1f} ms for {b * N_FRAMES} sequence-frames -> "
+                    f"{sfps:.1f} seq-frames/s")
+                best = max(best, sfps)
+            if best >= healthy_seq_fps or \
+                    time.monotonic() > deadline - 90.0:
+                break
+            log(f"batched[{seq_mode}] best {best:.0f} below band, re-rolling")
         result[f"seq_fps_{seq_mode}"] = round(best, 2)
         best_any = max(best_any, best)
         result["seq_fps"] = round(best_any, 2)
         _publish_partial(dict(result))
+    if "seq_fps_vmap" in result and "seq_fps_map" in result:
+        result["seq_mode_winner"] = (
+            "vmap" if result["seq_fps_vmap"] >= result["seq_fps_map"]
+            else "map")
     return result
 
 
@@ -488,7 +546,13 @@ def child_soak() -> dict:
     # KISS_BENCH_SOAK_STORAGE=f32 KISS_BENCH_SOAK_RANGE=100.
     storage = os.environ.get("KISS_BENCH_SOAK_STORAGE", "u16")
     soak_range = float(os.environ.get("KISS_BENCH_SOAK_RANGE", "70"))
-    n_total, k = 240, 24
+    # 600-frame drive by default (VERDICT r4 next #4: 240 frames / 18
+    # segments was a thin statistical base for the headline accuracy; the
+    # longer horizon also stresses trim harder). The parent passes 240 when
+    # only the shorter cache is warm — cold synthesis of 600 frames is ~25
+    # min of host numpy, which can never fit the bench budget.
+    n_total = int(os.environ.get("KISS_BENCH_SOAK_FRAMES", "600"))
+    k = 24
     cfg0 = _config(nn_mode=nn, map_storage=storage, max_range=soak_range)
     ds, pts, ts, valid = _scans(cfg0, n_total)
 
@@ -565,9 +629,10 @@ def child_soak() -> dict:
         + int(np.sum(np.asarray(s.num_dropped_map_voxels)))
         for s in summaries
     )
+    oob = sum(int(np.sum(np.asarray(s.num_oob_points))) for s in summaries)
     sigmas = np.asarray(summaries[-1].sigmas)
     log(f"soak steady-state fps={steady:.1f} map_points={fill} "
-        f"dropped={drops} sigma_final={sigmas[-1]:.3f}")
+        f"dropped={drops} oob={oob} sigma_final={sigmas[-1]:.3f}")
     # Roofline (VERDICT r3 next #5): semantically-required association bytes
     # per GN iteration x measured iterations / measured wall time of the timed
     # chunks, vs peak HBM BW. Conservative: the wall time also contains the
@@ -576,12 +641,13 @@ def child_soak() -> dict:
     total_iters = int(sum(int(np.sum(np.asarray(s.num_iterations)))
                           for s in summaries))
     model_bytes = assoc_bytes_per_iteration(cfg)
+    hbm_chip, hbm_peak = peak_hbm_bytes_per_s()
     hbm_util = (100.0 * model_bytes * total_iters
-                / (timed_total_s * PEAK_HBM_BYTES_PER_S))
+                / (timed_total_s * hbm_peak))
     log(f"soak roofline: {total_iters} GN iterations, "
         f"{model_bytes / 1e6:.1f} MB/iter model -> "
         f"{model_bytes * total_iters / timed_total_s / 1e9:.0f} GB/s apparent "
-        f"({hbm_util:.0f}% of peak)")
+        f"({hbm_util:.0f}% of {hbm_chip} peak {hbm_peak / 1e9:.0f} GB/s)")
     # Long-drive accuracy vs the synthetic ground truth: ATE over all 240
     # frames plus the KITTI segment metric (Metrics.cpp:141-156 protocol)
     # where the ~240 m drive yields valid 100/200 m segments. This is the
@@ -594,10 +660,13 @@ def child_soak() -> dict:
     log(f"soak accuracy: ATE_trans={ate_trans:.3f} m ATE_rot={ate_rot:.4f} "
         f"rad kitti_seg={seg_t:.3f}%/{seg_r:.5f}deg/m over {n_segments} "
         f"segments finite={np.all(np.isfinite(est))}")
-    out = {**partial, "map_points": fill, "dropped": drops,
+    out = {**partial, "map_points": fill, "dropped": drops, "oob": oob,
+           "n_frames": n_total,
            "ate_trans": round(float(ate_trans), 4),
            "ate_rot": round(float(ate_rot), 5),
            "hbm_utilization_pct": round(float(hbm_util), 1),
+           "hbm_peak_chip": hbm_chip,
+           "hbm_peak_gb_per_s": round(hbm_peak / 1e9, 1),
            "total_gn_iterations": total_iters}
     if n_segments > 0:  # explicit validity signal (ADVICE r3: a perfect or
         # sub-rounding estimate also yields 0.0 — gate on evidence, not value)
@@ -610,24 +679,65 @@ def child_soak() -> dict:
 def child_aot() -> dict:
     """Deployment artifact on hardware (VERDICT r3 next #8): export the
     jitted step as serialized StableHLO (io/aot.py), load it back (no
-    re-tracing of framework code), and drive it per-frame on the real chip —
-    recording the fps delta vs the jit streaming path is what proves the
-    serving story beyond the CPU-only tests/test_aot.py."""
+    re-tracing of framework code), and drive it on the real chip.
+
+    Covers BOTH execution shapes (VERDICT r4 next #6): the K-frame chunked
+    program — the production shape every headline number runs — measured
+    first (`aot_chunked_fps`), then the per-frame step (`aot_fps`, the
+    latency shape). Slow-execution draws re-rolled in-process like every
+    other child."""
     import jax
     from kiss_icp_tpu.io import aot
     from kiss_icp_tpu.odometry import init_state
 
     n = 30
     _, pts, ts, valid = _scans(_config(), n)
+    _, cpts, cts, cvalid = _scans(_config(), N_FRAMES)
 
-    # Re-roll slow-execution draws like every other child (code-review r4:
-    # an ungated slow-mode draw would publish aot_fps ~0.5 into the
-    # artifact): each salted export is a distinct executable = a fresh
-    # draw; keep the best completed measurement within the child budget.
     deadline = time.monotonic() + float(
-        os.environ.get("KISS_BENCH_CHILD_BUDGET_S", "240"))
+        os.environ.get("KISS_BENCH_CHILD_BUDGET_S", "360"))
+    result = {"mode": "aot"}
+
+    # --- chunked program (the production deployment shape) -----------------
+    best_chunked = 0.0
+    for subsalt in range(3):
+        cfg = _config(subsalt=subsalt)
+        path = f"/tmp/kiss_bench_aotc_{os.getpid()}_{subsalt}.npz"
+        t0 = time.perf_counter()
+        aot.save_step(path, cfg, chunk=N_FRAMES)
+        log(f"aot chunked export: {time.perf_counter() - t0:.1f}s, "
+            f"{os.path.getsize(path)} bytes")
+        step, meta = aot.load_step(path)
+        log("compiling aot chunked (deserialized program)...")
+        state = init_state(cfg)
+        t0 = time.perf_counter()
+        state, summary = step(state, cpts, cts, cvalid)
+        jax.block_until_ready(summary.poses)
+        log(f"aot chunked compile+first: {time.perf_counter() - t0:.1f}s")
+        for rnd in range(3):
+            st = init_state(cfg)
+            t0 = time.perf_counter()
+            st, summary = step(st, cpts, cts, cvalid)
+            jax.block_until_ready(summary.poses)
+            fps = N_FRAMES / (time.perf_counter() - t0)
+            log(f"aot chunked round {rnd}: {fps:.1f} fps")
+            best_chunked = max(best_chunked, fps)
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+        if best_chunked > 0:
+            result["aot_chunked_fps"] = round(best_chunked, 2)
+            _publish_partial(dict(result))
+        if best_chunked >= 0.8 * FAST_DRAW_FPS or \
+                time.monotonic() > deadline - 120.0:
+            break
+        log(f"aot chunked draw at {best_chunked:.0f} fps is below band, "
+            "re-rolling")
+
+    # --- per-frame program (the latency shape) -----------------------------
     best_fps, best_p50 = 0.0, None
-    for subsalt in range(4):
+    for subsalt in range(3):
         cfg = _config(subsalt=subsalt)
         path = f"/tmp/kiss_bench_aot_{os.getpid()}_{subsalt}.npz"
         t0 = time.perf_counter()
@@ -663,43 +773,259 @@ def child_aot() -> dict:
             # Salvage path: a later re-roll hanging past the child timeout
             # must not lose an already-measured draw (same discipline as
             # child_chunked/child_soak).
-            _publish_partial({"mode": "aot", "aot_fps": round(best_fps, 2),
-                              "p50_ms": round(float(best_p50), 3)})
+            result.update(aot_fps=round(best_fps, 2),
+                          p50_ms=round(float(best_p50), 3))
+            _publish_partial(dict(result))
         if best_fps >= 700.0 or time.monotonic() > deadline - 60.0:
             break
         log(f"aot draw at {fps:.0f} fps is slow-mode, re-rolling")
-    return {"mode": "aot", "aot_fps": round(best_fps, 2),
-            "p50_ms": round(float(best_p50), 3)}
+    result.update(aot_fps=round(best_fps, 2),
+                  p50_ms=round(float(best_p50), 3) if best_p50 else None)
+    return result
 
 
 def child_streaming() -> dict:
-    """chunk=1 per-frame latency incl. dispatch (the ROS deployment shape)."""
+    """chunk=1 per-frame latency incl. dispatch (the ROS deployment shape).
+
+    Same measurement discipline as every other child (VERDICT r4 next #5:
+    this number regressed 3x across rounds UNWATCHED because 29 frames were
+    measured once with no re-rolls): >= 200 measured frames per program,
+    slow-draw detection after a 30-frame probe, in-process re-rolls via
+    inert epsilon perturbation, best completed program wins, partials
+    published before any further work. Round-2 reference band: p50
+    0.65-0.84 ms (BASELINE.md) — the comparison row the artifact carries."""
     import jax
     from kiss_icp_tpu.odometry import init_state, make_step
 
-    cfg = _config()
-    n = 30
-    _, pts, ts, valid = _scans(cfg, n)
-    step = make_step(cfg)
+    n = 201  # 1 warmup + 200 measured
+    if _scan_cache_ready(_config(), 240):
+        _, pts, ts, valid = _scans(_config(), 240)
+    else:  # cold environment: don't burn the child budget on synthesis
+        _, pts, ts, valid = _scans(_config(), 30)
+    n = min(n, pts.shape[0])
 
-    log("compiling streaming...")
-    state = init_state(cfg)
-    t0 = time.perf_counter()
-    state, res = step(state, pts[0], ts[0], valid[0])
-    jax.block_until_ready(res.pose)
-    log(f"streaming compile+first: {time.perf_counter() - t0:.1f}s")
-
-    lat = []
-    for i in range(1, n):
+    deadline = time.monotonic() + float(
+        os.environ.get("KISS_BENCH_CHILD_BUDGET_S", "260"))
+    best = None  # (p50, p95, min, n_measured)
+    for subsalt in range(4):
+        cfg = _config(subsalt=subsalt)
+        step = make_step(cfg)
+        log(f"compiling streaming (program {subsalt})...")
+        state = init_state(cfg)
         t0 = time.perf_counter()
-        state, res = step(state, pts[i], ts[i], valid[i])
+        state, res = step(state, pts[0], ts[0], valid[0])
         jax.block_until_ready(res.pose)
-        lat.append(time.perf_counter() - t0)
-    lat_ms = np.asarray(lat) * 1e3
-    log(f"streaming per-frame latency: p50={np.percentile(lat_ms, 50):.2f} ms "
-        f"p95={np.percentile(lat_ms, 95):.2f} ms min={lat_ms.min():.2f} ms")
-    return {"mode": "streaming", "p50_ms": round(float(np.percentile(lat_ms, 50)), 3),
-            "min_ms": round(float(lat_ms.min()), 3)}
+        log(f"streaming compile+first: {time.perf_counter() - t0:.1f}s")
+
+        lat = []
+        aborted = False
+        for i in range(1, n):
+            t0 = time.perf_counter()
+            state, res = step(state, pts[i], ts[i], valid[i])
+            jax.block_until_ready(res.pose)
+            lat.append(time.perf_counter() - t0)
+            if i == 30 and np.percentile(np.asarray(lat) * 1e3, 50) > 5.0:
+                log(f"streaming program {subsalt}: slow-mode draw "
+                    f"(p50 {np.percentile(np.asarray(lat) * 1e3, 50):.1f} ms "
+                    "after 30 frames), re-rolling")
+                aborted = True
+                break
+        if not aborted:
+            lat_ms = np.asarray(lat) * 1e3
+            p50 = float(np.percentile(lat_ms, 50))
+            p95 = float(np.percentile(lat_ms, 95))
+            mn = float(lat_ms.min())
+            log(f"streaming program {subsalt}: p50={p50:.2f} ms "
+                f"p95={p95:.2f} ms min={mn:.2f} ms over {len(lat)} frames")
+            if best is None or p50 < best[0]:
+                best = (p50, p95, mn, len(lat))
+                _publish_partial({
+                    "mode": "streaming", "p50_ms": round(p50, 3),
+                    "p95_ms": round(p95, 3), "min_ms": round(mn, 3),
+                    "n_frames": len(lat), "r2_band_ms": [0.65, 0.84]})
+            if best[0] <= 1.2:  # inside the round-2 band + margin: done
+                break
+        if time.monotonic() > deadline - 60.0:
+            log("streaming: child budget exhausted")
+            break
+    if best is None:
+        return None
+    return {"mode": "streaming", "p50_ms": round(best[0], 3),
+            "p95_ms": round(best[1], 3), "min_ms": round(best[2], 3),
+            "n_frames": best[3], "r2_band_ms": [0.65, 0.84]}
+
+
+SOAK_AB_VARIANTS = ("gather27", "compact", "compact_loop", "loop27")
+
+
+def child_soak_ab() -> dict:
+    """Full-occupancy NN-strategy A/B (VERDICT r4 next #1): the young-map
+    `ab` child cannot predict which association strategy wins once the map
+    is full (round 3 measured compact COLLAPSING from young-map parity to
+    228 fps at full occupancy). This child runs the top strategies over the
+    240-frame drive in the SOAK configuration (u16 storage, 70 m crop) and
+    reports each one's steady-state rate — the measurement the production
+    default must come from. One program per variant, slow-draw abandon on
+    the first chunk, budget-trimmed."""
+    import jax
+    from kiss_icp_tpu.odometry import init_state, make_chunked_step
+
+    storage = os.environ.get("KISS_BENCH_SOAK_STORAGE", "u16")
+    soak_range = float(os.environ.get("KISS_BENCH_SOAK_RANGE", "70"))
+    n_total, k = 240, 24
+    _, pts, ts, valid = _scans(_config(), n_total)
+
+    deadline = time.monotonic() + float(
+        os.environ.get("KISS_BENCH_CHILD_BUDGET_S", "320"))
+    est_variant_s = 70.0
+    out = {"mode": "soak_ab", "storage": storage, "max_range": soak_range}
+    slow_draws = []
+    for name in SOAK_AB_VARIANTS:
+        if time.monotonic() > deadline - est_variant_s:
+            log(f"soak_ab: budget exhausted before {name}")
+            break
+        try:
+            # One retry on a slow-mode draw, both within the budget check.
+            for attempt in range(2):
+                cfg = _config(nn_mode=name, map_storage=storage,
+                              max_range=soak_range, subsalt=attempt)
+                chunk = make_chunked_step(cfg)
+                state = init_state(cfg)
+                t0 = time.perf_counter()
+                state, summary = chunk(state, pts[:k], ts[:k], valid[:k])
+                jax.block_until_ready(summary.poses)
+                log(f"soak_ab {name}.{attempt} compile+first: "
+                    f"{time.perf_counter() - t0:.1f}s")
+
+                state = init_state(cfg)
+                chunk_fps = []
+                aborted = False
+                for c in range(n_total // k):
+                    sl = slice(c * k, (c + 1) * k)
+                    t0 = time.perf_counter()
+                    state, summary = chunk(state, pts[sl], ts[sl], valid[sl])
+                    jax.block_until_ready(summary.poses)
+                    chunk_fps.append(k / (time.perf_counter() - t0))
+                    if c == 0 and chunk_fps[0] < 100.0:
+                        log(f"soak_ab {name}.{attempt}: slow draw "
+                            f"({chunk_fps[0]:.0f} fps), abandoning")
+                        aborted = True
+                        break
+                if not aborted:
+                    steady = float(np.mean(chunk_fps[len(chunk_fps) // 2:]))
+                    out[name] = round(steady, 2)
+                    log(f"soak_ab {name}: steady {steady:.1f} fps "
+                        f"(first {chunk_fps[0]:.0f})")
+                    break
+                if time.monotonic() > deadline - est_variant_s:
+                    break
+            else:
+                slow_draws.append(name)
+            _publish_partial(dict(out))
+        except Exception as e:
+            log(f"soak_ab {name}: failed ({type(e).__name__}: {e})")
+    if slow_draws:
+        out["slow_draws"] = slow_draws
+    return out
+
+
+def child_robust() -> dict:
+    """Deployment-robustness evidence on hardware, accuracy-only (host reads
+    allowed — no throughput is published from this child):
+
+    * resume-equals-straight-through: run 48 frames; run 24, checkpoint to
+      disk, restore into a FRESH engine, run the remaining 24 — the two
+      trajectories must match bit-for-bit (VERDICT r4 next #4 asked for
+      exactly this assertion in the bench log).
+    * envelope crossing: the same 48 frames started at +16,300 m — next to
+      the ±16,383-voxel world envelope — must trigger the rolling-origin
+      re-base (VERDICT r4 next #3), insert with ZERO out-of-envelope drops,
+      and reproduce the centered run's trajectory shifted by exactly the
+      start offset.
+    """
+    import jax  # noqa: F401
+    from kiss_icp_tpu.odometry import KissICP
+    import jax.numpy as jnp
+
+    n, k = 48, 12
+    cfg = _config()
+    _, pts, ts, valid = _scans(cfg, 240)
+
+    def dispatch(icp, lo, hi):
+        """Advance [lo, hi) without ANY d2h read (tunnel discipline: an
+        execution-output read can flip every later execution in this
+        process into the ~1000x slow mode — all materialization is
+        deferred to the end of the child). The 48-frame horizon stays far
+        inside the re-base trigger, so no mid-run envelope check is
+        needed."""
+        import jax
+
+        sums = []
+        for a in range(lo, hi, k):
+            sums.append(icp.dispatch_chunk(
+                (pts[a:a + k], ts[a:a + k], valid[a:a + k])))
+        jax.block_until_ready(sums[-1].poses)
+        return sums
+
+    def world(icp, sums):
+        return np.concatenate([icp.summary_poses(s) for s in sums], axis=0)
+
+    out = {"mode": "robust"}
+
+    def fresh(like=None):
+        """New engine; shares the already-compiled chunk step (pure function
+        of (state, inputs) for one config — one ~40 s compile for the whole
+        child instead of four)."""
+        icp = KissICP(_config())
+        if like is not None and hasattr(like, "_chunk_steps"):
+            icp._chunk_steps = like._chunk_steps
+        return icp
+
+    # --- dispatch phase (read-free except the intrinsic checkpoint d2h) ----
+    icp_s = fresh()
+    sums_straight = dispatch(icp_s, 0, n)
+    icp_a = fresh(icp_s)
+    dispatch(icp_a, 0, n // 2)
+    ckpt = f"/tmp/kiss_bench_resume_{os.getpid()}.npz"
+    icp_a.save_checkpoint(ckpt)  # materializes state: the one required read
+    icp_b = fresh(icp_s)
+    icp_b.load_checkpoint(ckpt)
+    sums_resumed = dispatch(icp_b, n // 2, n)
+
+    offset = 16300.0
+    icp_e = fresh(icp_s)
+    edge = np.eye(4, dtype=np.float32)
+    edge[0, 3] = offset
+    # Reading a freshly device_put pose (not an execution output) is safe.
+    icp_e.state = icp_e.state._replace(pose=jnp.asarray(edge))
+    rebased = icp_e.maybe_rebase()
+    sums_edge = dispatch(icp_e, 0, n)
+
+    # --- materialization phase --------------------------------------------
+    straight = world(icp_s, sums_straight)
+    resumed_tail = world(icp_b, sums_resumed)
+    equal = bool(np.array_equal(resumed_tail, straight[n // 2:]))
+    out["resume_equal"] = equal
+    log(f"robust: resume-equals-straight-through = {equal}")
+    try:
+        os.unlink(ckpt)
+    except OSError:
+        pass
+    _publish_partial(dict(out))
+
+    shifted = world(icp_e, sums_edge)
+    oob = int(sum(int(np.sum(np.asarray(s.num_oob_points)))
+                  for s in sums_edge))
+    drift = float(np.max(np.abs(
+        (shifted[:, :3, 3] - np.array([offset, 0.0, 0.0]))
+        - straight[:, :3, 3])))
+    out["rebase_fired"] = bool(rebased or np.any(icp_e.origin != 0))
+    out["rebase_oob_points"] = oob
+    out["rebase_parity_m"] = round(drift, 6)
+    out["rebase_offset_m"] = offset
+    log(f"robust: rebase fired={out['rebase_fired']} oob={oob} "
+        f"parity_drift={drift:.2e} m at +{offset:.0f} m start")
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -786,7 +1112,8 @@ def _run_child(mode: str, salt: int, timeout: int) -> dict | None:
     return result
 
 
-def _parsed_line(headline, soak=None, batched=None, aot=None) -> dict:
+def _parsed_line(headline, soak=None, batched=None, aot=None,
+                 streaming=None, robust=None) -> dict:
     """The driver-parseable object. `value` is the best chunked draw;
     `median_fps` the median over healthy draws (the lottery-free central
     tendency) and `steady_state_fps` the full-map soak rate — both carried so
@@ -821,10 +1148,28 @@ def _parsed_line(headline, soak=None, batched=None, aot=None) -> dict:
         # the measured soak against the semantically-required byte model
         # (see assoc_bytes_per_iteration).
         out["hbm_utilization_pct"] = soak["hbm_utilization_pct"]
+    if soak and soak.get("n_segments") is not None and \
+            soak.get("n_frames") is not None:
+        out["soak_n_frames"] = soak["n_frames"]
     if aot and aot.get("aot_fps") is not None:
         # The exported-StableHLO serving artifact executed on this chip
         # (VERDICT r3 next #8).
         out["aot_fps"] = aot["aot_fps"]
+    if aot and aot.get("aot_chunked_fps") is not None:
+        # The chunked (production-shape) export (VERDICT r4 next #6).
+        out["aot_chunked_fps"] = aot["aot_chunked_fps"]
+    if streaming and streaming.get("p50_ms") is not None:
+        # The ROS deployment shape's latency, now first-class in the
+        # artifact (VERDICT r4 next #5: it regressed 3x unwatched).
+        out["streaming_p50_ms"] = streaming["p50_ms"]
+        if streaming.get("p95_ms") is not None:
+            out["streaming_p95_ms"] = streaming["p95_ms"]
+    if robust:
+        if robust.get("resume_equal") is not None:
+            out["resume_equal"] = robust["resume_equal"]
+        if robust.get("rebase_fired") is not None:
+            out["rebase_ok"] = bool(robust["rebase_fired"]
+                                    and robust.get("rebase_oob_points") == 0)
     return out
 
 
@@ -840,7 +1185,8 @@ def parent() -> int:
     KISS_BENCH_CHILD_BUDGET_S and trims its work units to fit; the headline
     JSON line re-prints after EVERY stage (the driver takes the last line, so
     a kill at any point leaves the strongest enriched line so far); priority
-    order chunked -> soak -> batched -> aot -> ab -> streaming."""
+    order chunked -> soak -> batched -> aot -> soak_ab -> streaming ->
+    robust -> ab."""
     global _LOG_DIR
     t_start = time.monotonic()
     budget = float(os.environ.get("KISS_BENCH_BUDGET_S", "1320"))
@@ -900,16 +1246,30 @@ def parent() -> int:
     # Soak: the steady-state (full-map) number + long-drive accuracy + the
     # roofline field belong in the parsed line. The child re-rolls slow draws
     # in-process, so one process (two on total failure) suffices.
+    # 600 frames (VERDICT r4 next #4) when that cache is warm; cold 600-frame
+    # synthesis is ~25 min of host numpy and can NEVER fit the budget, so a
+    # cold start falls back to the 240-frame drive (whose cold synthesis is
+    # itself budget-gated below).
     soak = None
+    soak_frames = 600 if _scan_cache_ready(_config(), 600) else 240
+    os.environ["KISS_BENCH_SOAK_FRAMES"] = os.environ.get(
+        "KISS_BENCH_SOAK_FRAMES", str(soak_frames))
+    soak_frames = int(os.environ["KISS_BENCH_SOAK_FRAMES"])
     # A COLD 240-frame cache costs ~10+ min of host numpy that runs OUTSIDE
     # any child timeout — unbudgeted, it alone can overrun the deadline and
     # reproduce the rc=124 failure (code-review r4). Require the budget to
     # cover synthesis before starting it.
-    soak_gate = 500 + (0 if _scan_cache_ready(_config(), 240) else 720)
+    soak_gate = 500 + (0 if _scan_cache_ready(_config(), soak_frames) else 720)
     if remaining() >= soak_gate:
         t0 = time.perf_counter()
-        _scans(_config(), 240)
-        log(f"scan cache for 240 frames ready in {time.perf_counter()-t0:.0f}s")
+        _scans(_config(), soak_frames)
+        log(f"scan cache for {soak_frames} frames ready in "
+            f"{time.perf_counter()-t0:.0f}s")
+        if soak_frames != 240:
+            # The 240-frame cache feeds batched windows, soak_ab, streaming
+            # and robust; generate it too (gated) so they don't cold-start.
+            if _scan_cache_ready(_config(), 240) or remaining() >= 1200:
+                _scans(_config(), 240)
         for attempt in (21, 22):
             t = clamp_timeout(600, 300)
             if soak or t is None:
@@ -929,22 +1289,44 @@ def parent() -> int:
     if headline:
         emit_headline(_parsed_line(headline, soak, batched))
 
-    # AOT serving artifact on hardware (VERDICT r3 next #8).
+    # AOT serving artifacts on hardware (VERDICT r3 next #8 + r4 next #6:
+    # both the chunked production shape and the per-frame latency shape).
     aot = None
-    t = clamp_timeout(300, 150)
+    t = clamp_timeout(380, 150)
     if t is not None:
         aot = _run_child("aot", 41, timeout=t)
     if headline:
         emit_headline(_parsed_line(headline, soak, batched, aot))
 
+    # Full-occupancy NN A/B in the soak configuration (VERDICT r4 next #1):
+    # the measurement the production soak default is set from.
+    soak_ab = None
+    t = clamp_timeout(340, 160)
+    if t is not None:
+        soak_ab = _run_child("soak_ab", 51, timeout=t)
+
+    # Streaming latency with full re-roll discipline (VERDICT r4 next #5).
+    t = clamp_timeout(280, 120)
+    streaming = _run_child("streaming", 31, timeout=t) if t is not None else None
+    if headline:
+        emit_headline(_parsed_line(headline, soak, batched, aot, streaming))
+
+    # Resume-equality + envelope-crossing re-base evidence (VERDICT r4
+    # next #3/#4), before the open-ended ab child can eat the remainder.
+    robust = None
+    t = clamp_timeout(260, 120)
+    if t is not None:
+        robust = _run_child("robust", 61, timeout=t)
+    if headline:
+        emit_headline(_parsed_line(headline, soak, batched, aot, streaming,
+                                   robust))
+
     # Variant A/B matrix: ONE deadline-aware child (it trims variants to its
     # budget and abandons slow-mode draws after one round; see child_ab).
     ab = None
-    t = clamp_timeout(1200, 180)
+    t = clamp_timeout(700, 180)
     if t is not None:
         ab = _run_child("ab", 7, timeout=t)
-    t = clamp_timeout(240, 120)
-    streaming = _run_child("streaming", 31, timeout=t) if t is not None else None
 
     # Late re-rolls: the slow-execution lottery is TEMPORAL (phases of
     # minutes; BASELINE.md round-4 profiling note), so a headline or soak
@@ -959,7 +1341,8 @@ def parent() -> int:
             r = _run_child("chunked", 2, timeout=t)
             if r and r["fps"] > headline["fps"]:
                 headline = r
-            emit_headline(_parsed_line(headline, soak, batched, aot))
+            emit_headline(_parsed_line(headline, soak, batched, aot,
+                                       streaming, robust))
     if soak and soak.get("steady_fps", 0) < 900.0:
         t = clamp_timeout(500, 300)
         if t is not None:
@@ -968,10 +1351,12 @@ def parent() -> int:
             r = _run_child("soak", 23, timeout=t)
             if r and r.get("steady_fps", 0) > soak.get("steady_fps", 0):
                 soak = r
-            emit_headline(_parsed_line(headline, soak, batched, aot))
+            emit_headline(_parsed_line(headline, soak, batched, aot,
+                                       streaming, robust))
 
     summary = {"headline": headline, "ab": ab, "batched": batched,
-               "soak": soak, "aot": aot, "streaming": streaming}
+               "soak": soak, "soak_ab": soak_ab, "aot": aot,
+               "streaming": streaming, "robust": robust}
     log("bench summary: " + json.dumps(summary))
     if _LOG_DIR:
         try:
@@ -980,7 +1365,8 @@ def parent() -> int:
         except OSError:
             pass
 
-    emit_headline(_parsed_line(headline, soak, batched, aot))
+    emit_headline(_parsed_line(headline, soak, batched, aot, streaming,
+                               robust))
     log(f"bench done in {time.monotonic() - t_start:.0f}s "
         f"(budget {budget:.0f}s)")
     return 0
@@ -995,8 +1381,10 @@ def main_child(mode: str) -> int:
         "ab": child_ab,
         "batched": child_batched,
         "soak": child_soak,
+        "soak_ab": child_soak_ab,
         "aot": child_aot,
         "streaming": child_streaming,
+        "robust": child_robust,
     }[mode]
     print(json.dumps(fn()), flush=True)
     return 0
