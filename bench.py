@@ -556,8 +556,15 @@ def child_soak() -> dict:
     cfg0 = _config(nn_mode=nn, map_storage=storage, max_range=soak_range)
     ds, pts, ts, valid = _scans(cfg0, n_total)
 
+    # Measurement cutoff: reserve enough of the child budget for the
+    # UNtimed tail — d2h reads of every chunk summary through the tunnel
+    # (slow once the process has read anything) plus the 600-frame KITTI
+    # segment evaluation. Scaled with the drive length; without this the
+    # 600-frame child measured to its deadline and was killed mid-
+    # diagnostics, losing the accuracy fields (observed: rc=143 at 600 s).
+    diag_reserve = (60.0 + 0.25 * n_total) if n_total <= 300 else 40.0
     deadline = time.monotonic() + float(
-        os.environ.get("KISS_BENCH_CHILD_BUDGET_S", "480"))
+        os.environ.get("KISS_BENCH_CHILD_BUDGET_S", "600")) - diag_reserve
     # A healthy full-map draw on this scene runs >=950 fps (BASELINE.md
     # round 4: 950-1240); a mid-run slow PHASE of the tunnel can also drag
     # the steady half of an otherwise-healthy draw (observed: chunk curve
@@ -611,7 +618,7 @@ def child_soak() -> dict:
                     "max_range": soak_range})
             if best[0] >= healthy_steady:
                 break
-        if time.monotonic() > deadline - 120.0:
+        if time.monotonic() > deadline - 0.12 * n_total:
             log("soak: child budget exhausted, keeping best completed draw")
             break
     if best is None:
@@ -620,17 +627,47 @@ def child_soak() -> dict:
     timed_total_s = float(np.sum(k / np.asarray(chunk_fps)))
     partial = {"mode": "soak", "steady_fps": round(steady, 2),
                "first_chunk_fps": round(chunk_fps[0], 2),
-               "nn": nn, "storage": storage, "max_range": soak_range}
+               "nn": nn, "storage": storage, "max_range": soak_range,
+               "n_frames": n_total,
+               "timed_total_s": round(timed_total_s, 3)}
     _publish_partial(partial)
-    # Diagnostics (d2h reads) after ALL timing.
+    if n_total > 300:
+        # TUNNEL LIMIT: a process that has transferred more than ~300-500 MB
+        # of UNIQUE host->device input bytes can no longer read ANY
+        # device buffer — d2h hangs indefinitely (bisected 2026-08-20: the
+        # 240-frame drive's 250 MB reads fine in this same code; 500 MB of
+        # distinct chunk feeds hangs the first np.asarray; execution count
+        # and read batching are irrelevant; same-content re-feeds are
+        # content-cached by the tunnel and don't count). The 600-frame
+        # drive is ~630 MB, so this child publishes host-side timing ONLY
+        # and the parent collects accuracy/diagnostics from soak_acc
+        # children that each replay a <=200-frame window (checkpoint
+        # handoff) and stay under the budget.
+        hbm_chip, hbm_peak = peak_hbm_bytes_per_s()
+        partial.update(hbm_peak_chip=hbm_chip,
+                       hbm_peak_gb_per_s=round(hbm_peak / 1e9, 1))
+        _publish_partial(partial)
+        log("soak: >300-frame drive — diagnostics deferred to soak_acc "
+            "children (tunnel h2d read limit)")
+        return partial
+    # Diagnostics (d2h reads) after ALL timing — consolidated to ONE
+    # device-side concatenation + one transfer per field: through the
+    # tunnel each separate read of an execution output costs seconds once
+    # the process is in slow mode, and a 600-frame drive holds 150+ small
+    # buffers (observed: per-summary reads hung the child past its budget,
+    # rc=124, while the measurement itself took 150 s).
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    stacked = _jax.tree.map(
+        lambda *xs: _jnp.concatenate([_jnp.atleast_1d(x) for x in xs],
+                                     axis=0), *summaries)
+    host = _jax.device_get(stacked)
     fill = int(np.asarray(state.map.total_points))
-    drops = sum(
-        int(np.sum(np.asarray(s.num_dropped_downsample)))
-        + int(np.sum(np.asarray(s.num_dropped_map_voxels)))
-        for s in summaries
-    )
-    oob = sum(int(np.sum(np.asarray(s.num_oob_points))) for s in summaries)
-    sigmas = np.asarray(summaries[-1].sigmas)
+    drops = int(np.sum(host.num_dropped_downsample)
+                + np.sum(host.num_dropped_map_voxels))
+    oob = int(np.sum(host.num_oob_points))
+    sigmas = np.asarray(host.sigmas)
     log(f"soak steady-state fps={steady:.1f} map_points={fill} "
         f"dropped={drops} oob={oob} sigma_final={sigmas[-1]:.3f}")
     # Roofline (VERDICT r3 next #5): semantically-required association bytes
@@ -638,8 +675,7 @@ def child_soak() -> dict:
     # chunks, vs peak HBM BW. Conservative: the wall time also contains the
     # per-frame downsample/insert/trim work, so this UNDERSTATES the hot
     # loop's own utilization.
-    total_iters = int(sum(int(np.sum(np.asarray(s.num_iterations)))
-                          for s in summaries))
+    total_iters = int(np.sum(host.num_iterations))
     model_bytes = assoc_bytes_per_iteration(cfg)
     hbm_chip, hbm_peak = peak_hbm_bytes_per_s()
     hbm_util = (100.0 * model_bytes * total_iters
@@ -653,7 +689,7 @@ def child_soak() -> dict:
     # where the ~240 m drive yields valid 100/200 m segments. This is the
     # driver-captured long-horizon accuracy artifact (VERDICT r2 next #2);
     # the committed-golden f32-vs-f64 bound lives in tests/test_long_horizon.
-    est = np.concatenate([np.asarray(s.poses) for s in summaries], axis=0)
+    est = np.asarray(host.poses)
     gt = np.asarray(ds.gt_poses[:n_total], np.float64)
     ate_rot, ate_trans = metrics.absolute_trajectory_error(gt, est)
     seg_t, seg_r, n_segments = metrics.seq_error_stats(gt, est)
@@ -673,6 +709,73 @@ def child_soak() -> dict:
         out["kitti_seg_pct"] = round(float(seg_t), 4)
         out["kitti_seg_deg_per_m"] = round(float(seg_r), 5)
         out["n_segments"] = n_segments
+    return out
+
+
+def child_soak_acc() -> dict:
+    """Accuracy/diagnostics window of a LONG soak drive (see child_soak's
+    tunnel h2d limit note): replay frames [KISS_SOAK_ACC_LO,
+    KISS_SOAK_ACC_HI) of the cached drive in the soak configuration,
+    warm-started from KISS_SOAK_ACC_CKPT_IN (exact resume — bit-equality
+    proven by the robust child), write the window's poses to
+    KISS_SOAK_ACC_POSES_OUT and the end state to KISS_SOAK_ACC_CKPT_OUT,
+    and report the window's drop/iteration counters. Each window's unique
+    h2d stays under the tunnel's read-wedge threshold, so the reads are
+    safe; the parent stitches windows into the full-drive metrics.
+    Accuracy is deterministic per (world, config) — wall time here does
+    not matter, only the reads completing."""
+    import jax
+    from kiss_icp_tpu.io import checkpoint
+    from kiss_icp_tpu.odometry import init_state, make_chunked_step
+
+    nn = os.environ.get("KISS_BENCH_SOAK_NN", "gather27")
+    storage = os.environ.get("KISS_BENCH_SOAK_STORAGE", "u16")
+    soak_range = float(os.environ.get("KISS_BENCH_SOAK_RANGE", "70"))
+    n_total = int(os.environ.get("KISS_BENCH_SOAK_FRAMES", "600"))
+    lo = int(os.environ["KISS_SOAK_ACC_LO"])
+    hi = int(os.environ["KISS_SOAK_ACC_HI"])
+    ckpt_in = os.environ.get("KISS_SOAK_ACC_CKPT_IN", "")
+    ckpt_out = os.environ.get("KISS_SOAK_ACC_CKPT_OUT", "")
+    poses_out = os.environ["KISS_SOAK_ACC_POSES_OUT"]
+    k = 24
+
+    if (hi - lo) % k:
+        raise ValueError(f"soak_acc window [{lo}:{hi}) must be a multiple "
+                         f"of the chunk size {k} (checkpoint handoff "
+                         "replays whole chunks)")
+    cfg = _config(nn_mode=nn, map_storage=storage, max_range=soak_range)
+    _, pts, ts, valid = _scans(cfg, n_total)
+    chunk = make_chunked_step(cfg)
+    state = (checkpoint.load_checkpoint(ckpt_in, cfg) if ckpt_in
+             else init_state(cfg))
+    summaries = []
+    for a in range(lo, hi, k):
+        state, s = chunk(state, pts[a:a + k], ts[a:a + k], valid[a:a + k])
+        summaries.append(s)
+    jax.block_until_ready(summaries[-1].poses)
+    log(f"soak_acc [{lo}:{hi}) executed ({len(summaries)} chunks)")
+
+    import jax.numpy as jnp
+    stacked = jax.tree.map(
+        lambda *xs: jnp.concatenate([jnp.atleast_1d(x) for x in xs],
+                                    axis=0), *summaries)
+    host = jax.device_get(stacked)
+    fill = int(np.asarray(state.map.total_points))
+    if ckpt_out:
+        checkpoint.save_checkpoint(ckpt_out, state, cfg)
+    tmp = poses_out + f".{os.getpid()}.tmp.npz"
+    np.savez(tmp, poses=np.asarray(host.poses))
+    os.replace(tmp, poses_out)
+    out = {
+        "mode": "soak_acc", "lo": lo, "hi": hi,
+        "dropped": int(np.sum(host.num_dropped_downsample)
+                       + np.sum(host.num_dropped_map_voxels)),
+        "oob": int(np.sum(host.num_oob_points)),
+        "iters": int(np.sum(host.num_iterations)),
+        "map_points": fill,
+        "sigma_final": round(float(np.asarray(host.sigmas)[-1]), 4),
+    }
+    log(f"soak_acc window done: {out}")
     return out
 
 
@@ -1173,6 +1276,94 @@ def _parsed_line(headline, soak=None, batched=None, aot=None,
     return out
 
 
+def _soak_accuracy_windows(soak, n_total, clamp_timeout):
+    """Collect the long-soak drive's accuracy/diagnostics from per-window
+    soak_acc children (checkpoint handoff) and stitch the full-drive
+    metrics host-side — see child_soak's tunnel h2d limit note. Returns the
+    enriched soak dict (or the input unchanged on any window failure)."""
+    win = 216  # 9 chunks of 24 — MUST stay chunk-aligned (a misaligned
+    #            window would re-play frames across the checkpoint handoff)
+    #            and under the tunnel's unique-h2d read-wedge threshold.
+    base = f"/tmp/kiss_bench_soakacc_{os.getpid()}"
+    env_keys = ("KISS_SOAK_ACC_LO", "KISS_SOAK_ACC_HI",
+                "KISS_SOAK_ACC_CKPT_IN", "KISS_SOAK_ACC_CKPT_OUT",
+                "KISS_SOAK_ACC_POSES_OUT")
+    accs, pose_files, tmp_files = [], [], []
+    ckpt_prev = ""
+    try:
+        for i, lo in enumerate(range(0, n_total, win)):
+            hi = min(lo + win, n_total)
+            t = clamp_timeout(300, 150)
+            if t is None:
+                log("budget: abandoning soak accuracy windows")
+                return soak
+            poses_f = f"{base}_p{lo}.npz"
+            ckpt_f = f"{base}_ck{hi}.npz" if hi < n_total else ""
+            os.environ.update(
+                KISS_SOAK_ACC_LO=str(lo), KISS_SOAK_ACC_HI=str(hi),
+                KISS_SOAK_ACC_CKPT_IN=ckpt_prev,
+                KISS_SOAK_ACC_CKPT_OUT=ckpt_f,
+                KISS_SOAK_ACC_POSES_OUT=poses_f)
+            r = _run_child("soak_acc", 71 + i, timeout=t)
+            for key in env_keys:
+                os.environ.pop(key, None)
+            if r is None or not os.path.exists(poses_f):
+                log(f"soak_acc window {lo}:{hi} failed; accuracy omitted")
+                return soak
+            accs.append(r)
+            pose_files.append(poses_f)
+            tmp_files.append(poses_f)
+            if ckpt_f:
+                tmp_files.append(ckpt_f)
+            ckpt_prev = ckpt_f
+
+        from kiss_icp_tpu import metrics
+
+        est = np.concatenate([np.load(f)["poses"] for f in pose_files],
+                             axis=0)
+        with np.load(_scan_cache_path(_config(), n_total)) as d:
+            gt = np.asarray(d["gt"], np.float64)[:n_total]
+        ate_rot, ate_trans = metrics.absolute_trajectory_error(gt, est)
+        seg_t, seg_r, n_seg = metrics.seq_error_stats(gt, est)
+        total_iters = int(sum(a["iters"] for a in accs))
+        soak = dict(soak)
+        soak.update(
+            map_points=accs[-1]["map_points"],
+            dropped=int(sum(a["dropped"] for a in accs)),
+            oob=int(sum(a["oob"] for a in accs)),
+            ate_trans=round(float(ate_trans), 4),
+            ate_rot=round(float(ate_rot), 5),
+            total_gn_iterations=total_iters,
+            finite=bool(np.all(np.isfinite(est))),
+        )
+        if n_seg > 0:
+            soak.update(kitti_seg_pct=round(float(seg_t), 4),
+                        kitti_seg_deg_per_m=round(float(seg_r), 5),
+                        n_segments=int(n_seg))
+        peak_gb = soak.get("hbm_peak_gb_per_s")
+        tt = soak.get("timed_total_s")
+        if peak_gb and tt:
+            model_bytes = assoc_bytes_per_iteration(_config(
+                nn_mode=os.environ.get("KISS_BENCH_SOAK_NN", "gather27"),
+                map_storage=os.environ.get("KISS_BENCH_SOAK_STORAGE", "u16"),
+                max_range=float(
+                    os.environ.get("KISS_BENCH_SOAK_RANGE", "70"))))
+            soak["hbm_utilization_pct"] = round(
+                100.0 * model_bytes * total_iters / (tt * peak_gb * 1e9), 1)
+        log(f"soak accuracy (stitched {len(accs)} windows): "
+            f"ATE_trans={soak['ate_trans']} m "
+            f"kitti_seg={soak.get('kitti_seg_pct')}% over "
+            f"{soak.get('n_segments')} segments dropped={soak['dropped']} "
+            f"oob={soak['oob']}")
+        return soak
+    finally:
+        for f in tmp_files:
+            try:
+                os.unlink(f)
+            except OSError:
+                pass
+
+
 def parent() -> int:
     """HARD-deadline orchestration (VERDICT r3 next #1: rounds 2 and 3 both
     ended rc=124 — the driver's kill budget is tighter than the old 35-min
@@ -1271,10 +1462,14 @@ def parent() -> int:
             if _scan_cache_ready(_config(), 240) or remaining() >= 1200:
                 _scans(_config(), 240)
         for attempt in (21, 22):
-            t = clamp_timeout(600, 300)
+            t = clamp_timeout(600 if soak_frames <= 240 else 780, 300)
             if soak or t is None:
                 break
             soak = _run_child("soak", attempt, timeout=t)
+        if soak and soak.get("ate_trans") is None and \
+                int(soak.get("n_frames", 0)) > 300:
+            soak = _soak_accuracy_windows(soak, int(soak["n_frames"]),
+                                          clamp_timeout)
         if headline:
             emit_headline(_parsed_line(headline, soak))
     else:
@@ -1344,7 +1539,7 @@ def parent() -> int:
             emit_headline(_parsed_line(headline, soak, batched, aot,
                                        streaming, robust))
     if soak and soak.get("steady_fps", 0) < 900.0:
-        t = clamp_timeout(500, 300)
+        t = clamp_timeout(500 if soak_frames <= 240 else 700, 300)
         if t is not None:
             log(f"late re-roll: soak {soak['steady_fps']:.0f} fps is below "
                 "band, retrying")
@@ -1381,6 +1576,7 @@ def main_child(mode: str) -> int:
         "ab": child_ab,
         "batched": child_batched,
         "soak": child_soak,
+        "soak_acc": child_soak_acc,
         "soak_ab": child_soak_ab,
         "aot": child_aot,
         "streaming": child_streaming,
