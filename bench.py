@@ -150,10 +150,13 @@ def _publish_partial(result: dict) -> None:
 
 
 def _config(use_pallas="auto", map_storage="f32", probe_length=16,
-            nn_mode="gather27", subsalt=0, max_range=None):
+            nn_mode="gather27", subsalt=0, max_range=None,
+            ground_align=None):
     from kiss_icp_tpu.config.parser import load_config
 
     cfg = load_config(None)  # reference defaults: 100 m range, 1 m voxels
+    if ground_align is not None:
+        cfg.engine.ground_align = float(ground_align)
     if max_range is not None:
         # Per-deployment range crop (the reference tunes max_range per
         # dataset the same way, e.g. MulRan at 120 m). voxel_size stays at
@@ -546,6 +549,7 @@ def child_soak() -> dict:
     # KISS_BENCH_SOAK_STORAGE=f32 KISS_BENCH_SOAK_RANGE=100.
     storage = os.environ.get("KISS_BENCH_SOAK_STORAGE", "u16")
     soak_range = float(os.environ.get("KISS_BENCH_SOAK_RANGE", "70"))
+    soak_ground = float(os.environ.get("KISS_BENCH_SOAK_GROUND", "0"))
     # 600-frame drive by default (VERDICT r4 next #4: 240 frames / 18
     # segments was a thin statistical base for the headline accuracy; the
     # longer horizon also stresses trim harder). The parent passes 240 when
@@ -553,7 +557,8 @@ def child_soak() -> dict:
     # min of host numpy, which can never fit the bench budget.
     n_total = int(os.environ.get("KISS_BENCH_SOAK_FRAMES", "600"))
     k = 24
-    cfg0 = _config(nn_mode=nn, map_storage=storage, max_range=soak_range)
+    cfg0 = _config(nn_mode=nn, map_storage=storage, max_range=soak_range,
+               ground_align=soak_ground)
     ds, pts, ts, valid = _scans(cfg0, n_total)
 
     # Measurement cutoff: reserve enough of the child budget for the
@@ -574,7 +579,7 @@ def child_soak() -> dict:
     best = None  # (steady, chunk_fps, summaries, state, cfg)
     for subsalt in range(6):
         cfg = _config(nn_mode=nn, map_storage=storage, subsalt=subsalt,
-                      max_range=soak_range)
+                      max_range=soak_range, ground_align=soak_ground)
         chunk = make_chunked_step(cfg)
         log(f"compiling soak (program {subsalt})...")
         state = init_state(cfg)
@@ -628,6 +633,7 @@ def child_soak() -> dict:
     partial = {"mode": "soak", "steady_fps": round(steady, 2),
                "first_chunk_fps": round(chunk_fps[0], 2),
                "nn": nn, "storage": storage, "max_range": soak_range,
+               "ground_align": soak_ground,
                "n_frames": n_total,
                "timed_total_s": round(timed_total_s, 3)}
     _publish_partial(partial)
@@ -731,6 +737,7 @@ def child_soak_acc() -> dict:
     nn = os.environ.get("KISS_BENCH_SOAK_NN", "gather27")
     storage = os.environ.get("KISS_BENCH_SOAK_STORAGE", "u16")
     soak_range = float(os.environ.get("KISS_BENCH_SOAK_RANGE", "70"))
+    soak_ground = float(os.environ.get("KISS_BENCH_SOAK_GROUND", "0"))
     n_total = int(os.environ.get("KISS_BENCH_SOAK_FRAMES", "600"))
     lo = int(os.environ["KISS_SOAK_ACC_LO"])
     hi = int(os.environ["KISS_SOAK_ACC_HI"])
@@ -743,7 +750,8 @@ def child_soak_acc() -> dict:
         raise ValueError(f"soak_acc window [{lo}:{hi}) must be a multiple "
                          f"of the chunk size {k} (checkpoint handoff "
                          "replays whole chunks)")
-    cfg = _config(nn_mode=nn, map_storage=storage, max_range=soak_range)
+    cfg = _config(nn_mode=nn, map_storage=storage, max_range=soak_range,
+                  ground_align=soak_ground)
     _, pts, ts, valid = _scans(cfg, n_total)
     chunk = make_chunked_step(cfg)
     state = (checkpoint.load_checkpoint(ckpt_in, cfg) if ckpt_in
@@ -975,6 +983,7 @@ def child_soak_ab() -> dict:
 
     storage = os.environ.get("KISS_BENCH_SOAK_STORAGE", "u16")
     soak_range = float(os.environ.get("KISS_BENCH_SOAK_RANGE", "70"))
+    soak_ground = float(os.environ.get("KISS_BENCH_SOAK_GROUND", "0"))
     n_total, k = 240, 24
     _, pts, ts, valid = _scans(_config(), n_total)
 
@@ -991,7 +1000,8 @@ def child_soak_ab() -> dict:
             # One retry on a slow-mode draw, both within the budget check.
             for attempt in range(2):
                 cfg = _config(nn_mode=name, map_storage=storage,
-                              max_range=soak_range, subsalt=attempt)
+                              max_range=soak_range, subsalt=attempt,
+                              ground_align=soak_ground)
                 chunk = make_chunked_step(cfg)
                 state = init_state(cfg)
                 t0 = time.perf_counter()

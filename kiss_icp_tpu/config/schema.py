@@ -141,6 +141,19 @@ class EngineConfig:
     # delta (the pose estimate is untouched; refined points reach future
     # frames through the voxel slabs). One extra deskew+downsample per frame.
     deskew_refine_map: bool = False
+    # Ground-plane attitude stabilization strength (0 = off, reference
+    # semantics). Each frame the lowest-annulus ground plane is fitted in
+    # the body frame and the pose rotated by this fraction of the measured
+    # tilt so the ground normal stays vertical (ops/ground.py). Fixes the
+    # slow pitch/roll drift of point-to-point ICP on ground-dominated
+    # scans (measured round 5: 13.6 m of quadratic z drift over a 586 m
+    # feature-poor drive — the f64 reference algorithm drifts identically;
+    # with alignment 0.1 the drift collapses, see BASELINE.md round 5).
+    # Assumes a gravity-aligned odometry frame (automotive datasets).
+    # Applied by the single-device/chunked engines; sharded/pod engines
+    # ignore it (their step composes the same ops — wire-up is future
+    # work, documented like deskew_refine).
+    ground_align: float = 0.0
     # Rolling-origin re-base trigger, in voxels (inf-norm of the local pose
     # translation). The map's packed voxel keys and fixed-point storage
     # bound the world to ±16383 voxels per axis (ops/voxel.in_envelope);

@@ -222,6 +222,18 @@ def register_frame(
         delta_est = se3.inverse(state.pose) @ new_pose
         prep, frame_ds = deskew_downsample(delta_est)
 
+    # 5d. Optional ground-plane attitude stabilization
+    #    (engine.ground_align > 0; ops/ground.py). On ground-dominated
+    #    scans point-to-point ICP barely observes pitch/roll; the measured
+    #    ground plane re-anchors them each frame (soft complementary
+    #    filter, translation untouched, reference semantics when 0).
+    ground_lam = float(config.engine.ground_align)
+    if ground_lam > 0.0:
+        from kiss_icp_tpu.ops import ground
+
+        plane = ground.estimate_ground_plane(prep.points, prep.valid)
+        new_pose = ground.align_pose_to_ground(new_pose, plane, ground_lam)
+
     # 6.-7. Model deviation feeds the threshold estimator.
     model_deviation = se3.inverse(initial_guess) @ new_pose
     new_threshold = threshold.update_model_deviation(
