@@ -549,7 +549,7 @@ def child_soak() -> dict:
     # KISS_BENCH_SOAK_STORAGE=f32 KISS_BENCH_SOAK_RANGE=100.
     storage = os.environ.get("KISS_BENCH_SOAK_STORAGE", "u16")
     soak_range = float(os.environ.get("KISS_BENCH_SOAK_RANGE", "70"))
-    soak_ground = float(os.environ.get("KISS_BENCH_SOAK_GROUND", "0"))
+    soak_ground = float(os.environ.get("KISS_BENCH_SOAK_GROUND", "0.1"))
     # 600-frame drive by default (VERDICT r4 next #4: 240 frames / 18
     # segments was a thin statistical base for the headline accuracy; the
     # longer horizon also stresses trim harder). The parent passes 240 when
@@ -737,7 +737,7 @@ def child_soak_acc() -> dict:
     nn = os.environ.get("KISS_BENCH_SOAK_NN", "gather27")
     storage = os.environ.get("KISS_BENCH_SOAK_STORAGE", "u16")
     soak_range = float(os.environ.get("KISS_BENCH_SOAK_RANGE", "70"))
-    soak_ground = float(os.environ.get("KISS_BENCH_SOAK_GROUND", "0"))
+    soak_ground = float(os.environ.get("KISS_BENCH_SOAK_GROUND", "0.1"))
     n_total = int(os.environ.get("KISS_BENCH_SOAK_FRAMES", "600"))
     lo = int(os.environ["KISS_SOAK_ACC_LO"])
     hi = int(os.environ["KISS_SOAK_ACC_HI"])
@@ -983,7 +983,7 @@ def child_soak_ab() -> dict:
 
     storage = os.environ.get("KISS_BENCH_SOAK_STORAGE", "u16")
     soak_range = float(os.environ.get("KISS_BENCH_SOAK_RANGE", "70"))
-    soak_ground = float(os.environ.get("KISS_BENCH_SOAK_GROUND", "0"))
+    soak_ground = float(os.environ.get("KISS_BENCH_SOAK_GROUND", "0.1"))
     n_total, k = 240, 24
     _, pts, ts, valid = _scans(_config(), n_total)
 
