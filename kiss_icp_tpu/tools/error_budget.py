@@ -276,6 +276,14 @@ CELLS = [
                          "data.max_range": 60.0}),
     ("u16_range80", {}, {"engine.map_storage": "u16",
                          "data.max_range": 80.0}),
+    # Round-5 soak configuration: ground-plane attitude stabilization on
+    # top of the round-4 pick (the long-horizon lambda sweep lives in
+    # BASELINE.md round 5; at the 240-frame horizon the stabilizer is
+    # seg-neutral and ATE-positive).
+    ("u16_range70_ground01", {}, {"engine.map_storage": "u16",
+                                  "data.max_range": 70.0,
+                                  "engine.ground_align": 0.1}),
+    ("ground_0.1", {}, {"engine.ground_align": 0.1}),
 ]
 
 
