@@ -45,6 +45,10 @@ DEFAULT_PARAMETERS = {
     # the map-sharded engine, parallel/sharded_engine.py). No reference
     # analog — the rclcpp node's map is one robin_map on one host.
     "map_shards": 1,
+    # Ground-plane attitude stabilization strength (engine.ground_align,
+    # ops/ground.py; 0 = off, reference semantics). A STREAMING node is
+    # exactly where the long-horizon pitch drift this fixes accumulates.
+    "ground_align": 0.0,
     # Node-level (not part of KISSConfig): warm-start from / persist to an
     # odometry checkpoint (io/checkpoint.py). Empty = disabled. No reference
     # analog — the rclcpp node always starts from an empty map.
@@ -73,6 +77,7 @@ def config_from_params(params: dict) -> KISSConfig:
     cfg.registration.max_num_iterations = int(g("max_num_iterations"))
     cfg.registration.convergence_criterion = float(g("convergence_criterion"))
     cfg.engine.map_shards = int(g("map_shards"))
+    cfg.engine.ground_align = float(g("ground_align"))
     return cfg
 
 
