@@ -150,9 +150,8 @@ class EngineConfig:
     # feature-poor drive — the f64 reference algorithm drifts identically;
     # with alignment 0.1 the drift collapses, see BASELINE.md round 5).
     # Assumes a gravity-aligned odometry frame (automotive datasets).
-    # Applied by the single-device/chunked engines; sharded/pod engines
-    # ignore it (their step composes the same ops — wire-up is future
-    # work, documented like deskew_refine).
+    # Applied by every engine (single-device, chunked, map-sharded, pod —
+    # the correction is replicated deterministic math, no collectives).
     ground_align: float = 0.0
     # Rolling-origin re-base trigger, in voxels (inf-norm of the local pose
     # translation). The map's packed voxel keys and fixed-point storage

@@ -155,3 +155,30 @@ def test_ground_align_bounded_cost_short_horizon():
     # assumption absorbs (the synthetic terrain undulates ~±1 m; the filter
     # trades unbounded quadratic drift for relief-bounded error).
     assert z_on <= z_off + 0.3
+
+
+def test_sharded_engine_ground_align_matches_single_device():
+    """The map-sharded step applies the same replicated ground correction
+    as the single-device engine (schema promise: every engine honors the
+    knob)."""
+    from kiss_icp_tpu.parallel.sharded_engine import ShardedKissICP
+
+    n = 10
+    ds = SyntheticDataset(sequence=0, n_scans=n, n_beams=24, n_azimuth=360,
+                          max_range=30.0, speed=1.0, accel_frames=4)
+    cfg_ref = _cfg(0.15)
+    cfg_shd = _cfg(0.15)
+    cfg_shd.engine.map_shards = 2
+    ref = KissICP(cfg_ref)
+    shd = ShardedKissICP(cfg_shd)
+    for i in range(n):
+        f, t = ds[i]
+        ref.register_frame(f, t)
+        shd.register_frame(f, t)
+    np.testing.assert_allclose(shd.last_pose, ref.last_pose, atol=5e-3)
+    # and the knob is live on the sharded engine (not silently ignored)
+    off = ShardedKissICP((lambda c: (setattr(c.engine, "map_shards", 2), c)[1])(_cfg(0.0)))
+    for i in range(n):
+        f, t = ds[i]
+        off.register_frame(f, t)
+    assert not np.allclose(off.last_pose, shd.last_pose, atol=1e-6)
