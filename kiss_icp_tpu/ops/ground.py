@@ -61,8 +61,13 @@ def estimate_ground_plane(
     r2 = x * x + y * y
     in_ring = valid & (r2 > r_min * r_min) & (r2 < r_max * r_max)
 
+    # Quantile over a strided subsample: nanquantile lowers to a full sort,
+    # and sorting the whole padded buffer would cost as much as a voxel
+    # downsample (sorts are the dominant non-gather cost of the pipeline).
+    # A 1/16 stride keeps thousands of ring samples — quantile jitter is
+    # well inside `band` — at 1/16 the sort cost.
     z_masked = jnp.where(in_ring, z, jnp.nan)
-    z_lo = jnp.nanquantile(z_masked, quantile)
+    z_lo = jnp.nanquantile(z_masked.reshape(-1)[::16], quantile)
     sel = in_ring & (z < z_lo + band) & (z > z_lo - band)
     w = sel.astype(jnp.float32)
     n = jnp.sum(w).astype(jnp.int32)
