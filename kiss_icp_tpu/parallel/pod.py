@@ -15,13 +15,19 @@ Per-sequence pose/threshold state is replicated along "map" (tiny).
 Execution. Inside the shard body, local sequences advance SEQUENTIALLY
 (`lax.map`), each running its own chunked scan of the map-sharded frame step
 (sharded_map.frame_step_shard: ppermute ring NN combine + psum'd normal
-equations over "map"). Sequential-local is deliberate, not a fallback:
+equations over "map"). Sequential-local is REQUIRED here for the collective
+structure (see the lockstep note below); as a THROUGHPUT argument the
+decoupled-trip-count story did not survive measurement — rounds 3/4 A/Bs
+of the single-mesh batched program measured vmap lockstep >= lax.map
+(BENCH_r04: vmap 1255 vs map 1137 seq-fps; round 3: statistical tie even
+with real iteration skew), so the batched program defaults to vmap
+(parallel/batch.py seq_mode) and the bench A/Bs both every round:
 
   * a vmap'ed ICP while_loop runs every sequence to the slowest member's
-    iteration count (round-2 measurement: batched B=4 at 1196-1398
-    seq-frames/s UNDER the 1577 single-sequence rate). `lax.map` gives every
-    sequence its own trip count, so per-device work is the SUM of per-seq
-    iterations instead of Lb x max.
+    iteration count; `lax.map` gives every sequence its own trip count, so
+    per-device work is the SUM of per-seq iterations instead of Lb x max —
+    but the lockstep coupling loss measures smaller than lax.map's
+    serialization on real batches.
   * collectives stay in lockstep: all D members of a seq row scan the same
     local sequences in the same order, and within one sequence the while
     cond is replicated along "map" (psum'd dx), so the ring/psum inside the
