@@ -79,3 +79,60 @@ def test_assoc_bytes_model():
     assert bench.assoc_bytes_per_iteration(cfg) == n * 27 * (p * 12 + k * 4 + 4)
     cfg16 = bench._config(map_storage="u16", probe_length=8)
     assert bench.assoc_bytes_per_iteration(cfg16) == n * 27 * (p * 6 + 8 * 4 + 4)
+
+
+def test_parsed_line_round5_fields():
+    # Round-5 additions: chunked AOT, streaming latency with its p95, the
+    # robustness flags, and the soak frame count alongside the segment count.
+    soak = {"mode": "soak", "steady_fps": 1200.0, "ate_trans": 0.2,
+            "kitti_seg_pct": 0.4, "n_segments": 150, "n_frames": 600}
+    aot = {"mode": "aot", "aot_fps": 900.0, "aot_chunked_fps": 1450.0}
+    streaming = {"mode": "streaming", "p50_ms": 0.9, "p95_ms": 1.4,
+                 "min_ms": 0.7, "n_frames": 200}
+    robust = {"mode": "robust", "resume_equal": True, "rebase_fired": True,
+              "rebase_oob_points": 0}
+    line = bench._parsed_line({"mode": "chunked", "fps": 1600.0,
+                               "median_fps": 1400.0}, soak, None, aot,
+                              streaming, robust)
+    assert line["aot_chunked_fps"] == 1450.0
+    assert line["streaming_p50_ms"] == 0.9
+    assert line["streaming_p95_ms"] == 1.4
+    assert line["soak_n_frames"] == 600
+    assert line["resume_equal"] is True
+    assert line["rebase_ok"] is True
+    json.dumps(line)
+
+    # A re-base that fired but leaked OOB points must NOT read as ok.
+    robust_bad = {"mode": "robust", "resume_equal": True,
+                  "rebase_fired": True, "rebase_oob_points": 7}
+    line2 = bench._parsed_line({"mode": "chunked", "fps": 1600.0,
+                                "median_fps": 1400.0}, soak, None, aot,
+                               streaming, robust_bad)
+    assert line2["rebase_ok"] is False
+
+
+def test_soak_acc_windows_are_chunk_aligned():
+    """The accuracy-window scheme replays whole chunks across a checkpoint
+    handoff; a misaligned window would process frames twice (caught live in
+    round 5: 200 % 24 != 0 produced 632 stitched poses for a 600-frame
+    drive). Pin the constants' relationship."""
+    import inspect
+
+    src = inspect.getsource(bench._soak_accuracy_windows)
+    win = int(src.split("win = ")[1].split()[0])
+    assert win % 24 == 0  # chunk size used by child_soak_acc
+    # and windows stay under the tunnel's unique-h2d read-wedge threshold
+    # (~250 MB known-good): frames * cap * (12 + 4 + 1) bytes.
+    cap = bench._config().engine.max_points_per_frame
+    assert win * cap * 17 < 260e6
+
+
+def test_child_modes_registered():
+    """Every child the parent can spawn resolves in main_child's registry
+    (a missing entry is only discovered at bench time otherwise)."""
+    import inspect
+
+    src = inspect.getsource(bench)
+    spawned = set(__import__("re").findall(r'_run_child\("(\w+)"', src))
+    for mode in spawned:
+        assert hasattr(bench, f"child_{mode}"), mode
