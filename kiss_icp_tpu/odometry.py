@@ -227,12 +227,9 @@ def register_frame(
     #    scans point-to-point ICP barely observes pitch/roll; the measured
     #    ground plane re-anchors them each frame (soft complementary
     #    filter, translation untouched, reference semantics when 0).
-    ground_lam = float(config.engine.ground_align)
-    if ground_lam > 0.0:
-        from kiss_icp_tpu.ops import ground
+    from kiss_icp_tpu.ops import ground
 
-        plane = ground.estimate_ground_plane(prep.points, prep.valid)
-        new_pose = ground.align_pose_to_ground(new_pose, plane, ground_lam)
+    new_pose = ground.maybe_align(config, prep.points, prep.valid, new_pose)
 
     # 6.-7. Model deviation feeds the threshold estimator.
     model_deviation = se3.inverse(initial_guess) @ new_pose

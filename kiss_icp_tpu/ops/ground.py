@@ -32,6 +32,19 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 
+def maybe_align(config, points, valid, pose):
+    """The engine-facing 5d step: apply the configured stabilization (or
+    nothing when engine.ground_align == 0). ONE implementation for the
+    single-device step (odometry.register_frame) and the map-sharded step
+    (sharded_map.frame_step_shard) — the same anti-divergence rule as
+    hash_map._claim_slots."""
+    lam = float(config.engine.ground_align)
+    if lam <= 0.0:
+        return pose
+    plane = estimate_ground_plane(points, valid)
+    return align_pose_to_ground(pose, plane, lam)
+
+
 class GroundPlane(NamedTuple):
     normal_body: jnp.ndarray  # (3,) unit normal of the ground in body frame
     height: jnp.ndarray  # () sensor height above the plane (positive = above)

@@ -95,6 +95,12 @@ class ShardedKissICP(odometry.KissICP):
             lambda h, s: jax.device_put(np.asarray(h), s),
             host, shardings,
         )
+        # The rolling world origin travels with the checkpoint (same
+        # contract as KissICP.load_checkpoint — a warm start from a
+        # re-based drive must keep reporting continuous world poses, and
+        # a stale origin from this engine's own past must not survive).
+        self.origin = np.asarray(
+            checkpoint.load_extra(path, "origin", np.zeros(3)), np.float64)
 
     def local_map_points(self) -> np.ndarray:
         """World-frame dump of the sharded map (reference Pointcloud(),

@@ -278,16 +278,13 @@ def frame_step_shard(
                          jnp.where(pose_finite, aligned, guess))
     new_pose = se3.orthonormalize(new_pose)  # see se3.orthonormalize
 
-    # Optional ground-plane attitude stabilization (engine.ground_align,
-    # ops/ground.py — same 5d step as odometry.register_frame). Replicated,
+    # Optional ground-plane attitude stabilization (engine.ground_align —
+    # the same shared 5d step as odometry.register_frame). Replicated,
     # deterministic computation over the replicated preprocessed cloud: no
     # collectives, every shard applies the identical correction.
-    ground_lam = float(config.engine.ground_align)
-    if ground_lam > 0.0:
-        from kiss_icp_tpu.ops import ground
+    from kiss_icp_tpu.ops import ground
 
-        plane = ground.estimate_ground_plane(prep.points, prep.valid)
-        new_pose = ground.align_pose_to_ground(new_pose, plane, ground_lam)
+    new_pose = ground.maybe_align(config, prep.points, prep.valid, new_pose)
 
     # Final correspondence count for diagnostics. Each shard counts its 1/D
     # stripe of the ring-combined result and the psum yields the (replicated)

@@ -127,6 +127,22 @@ def get_node_class():
             points, timestamps = read_point_cloud(msg)
             self.odometry.register_frame_lazy(points, timestamps)
             pose = self.odometry.last_pose
+            # Rolling-origin envelope check (the pose was just materialized,
+            # so it's read-free): a streaming node is exactly the unbounded-
+            # drive deployment the re-base exists for. Published world poses
+            # are continuous across the roll (last_pose = origin + local).
+            self.odometry.maybe_rebase(pose[:3, 3])
+            # Loud-counter contract: surface capacity overflow once, like
+            # the pipeline driver does.
+            drops = self.odometry.last_overflow()
+            if any(drops) and not getattr(self, "_warned_overflow", False):
+                self._warned_overflow = True
+                self.get_logger().warning(
+                    f"capacity overflow: downsample={drops[0]} map={drops[1]}"
+                    f" input={drops[2]} out-of-envelope={drops[3]} points/"
+                    "voxels dropped this frame — raise the engine "
+                    "capacities (see EngineConfig)"
+                )
             payload = self.publisher_core.build(pose, msg.header.frame_id)
             if self.publisher_core.extrinsic_warning:
                 self.get_logger().warning(self.publisher_core.extrinsic_warning)

@@ -282,3 +282,30 @@ def test_sharded_engine_rebase_matches_single_device():
     # Shard occupancy survives the cross-shard exchange.
     assert int(shd.shard_occupancy().sum()) == \
         int(np.sum(np.asarray(shd.state.counts) > 0))
+
+
+def test_sharded_checkpoint_roundtrips_origin(tmp_path):
+    """ShardedKissICP.load_checkpoint must restore (or reset) the rolling
+    origin like the base engine (code-review r5: the override dropped it —
+    a warm start from a re-based drive reported poses kilometers off)."""
+    from kiss_icp_tpu.parallel.sharded_engine import ShardedKissICP
+
+    cfg = _engine_config(trigger=8)
+    cfg.engine.map_shards = 2
+    ds = _drive(12)
+    icp = ShardedKissICP(cfg)
+    for i in range(12):
+        f, t = ds[i]
+        icp.register_frame(f, t)
+        icp.maybe_rebase()
+    assert np.any(icp.origin != 0)
+    path = tmp_path / "shard_ckpt.npz"
+    icp.save_checkpoint(path)
+
+    cfg2 = _engine_config(trigger=8)
+    cfg2.engine.map_shards = 2
+    icp2 = ShardedKissICP(cfg2)
+    icp2.origin = np.array([999.0, 0.0, 0.0])  # stale origin must not survive
+    icp2.load_checkpoint(path)
+    np.testing.assert_array_equal(icp2.origin, icp.origin)
+    np.testing.assert_allclose(icp2.last_pose, icp.last_pose, atol=1e-6)
