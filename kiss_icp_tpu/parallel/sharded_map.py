@@ -279,12 +279,13 @@ def frame_step_shard(
     new_pose = se3.orthonormalize(new_pose)  # see se3.orthonormalize
 
     # Optional ground-plane attitude stabilization (engine.ground_align —
-    # the same shared 5d step as odometry.register_frame). Replicated,
-    # deterministic computation over the replicated preprocessed cloud: no
+    # the same shared 5d step as odometry.register_frame, on the same
+    # half-voxel downsample). Replicated, deterministic computation: no
     # collectives, every shard applies the identical correction.
     from kiss_icp_tpu.ops import ground
 
-    new_pose = ground.maybe_align(config, prep.points, prep.valid, new_pose)
+    new_pose = ground.maybe_align(config, frame_ds.points, frame_ds.valid,
+                                  new_pose)
 
     # Final correspondence count for diagnostics. Each shard counts its 1/D
     # stripe of the ring-combined result and the psum yields the (replicated)
