@@ -149,6 +149,22 @@ def _publish_partial(result: dict) -> None:
         os.replace(tmp, path)
 
 
+def _stack_summaries(summaries):
+    """ONE device-side concatenation of per-chunk summaries + one transfer
+    per field. Through the tunnel each separate d2h read of an execution
+    output costs seconds once the process is in slow mode, and a long
+    drive holds 150+ small buffers (observed: per-summary reads hung a
+    child past its budget). Single implementation for every child that
+    stitches chunk summaries (soak, soak_acc)."""
+    import jax
+    import jax.numpy as jnp
+
+    stacked = jax.tree.map(
+        lambda *xs: jnp.concatenate([jnp.atleast_1d(x) for x in xs],
+                                    axis=0), *summaries)
+    return jax.device_get(stacked)
+
+
 def _config(use_pallas="auto", map_storage="f32", probe_length=16,
             nn_mode="gather27", subsalt=0, max_range=None,
             ground_align=None):
@@ -656,19 +672,8 @@ def child_soak() -> dict:
         log("soak: >300-frame drive — diagnostics deferred to soak_acc "
             "children (tunnel h2d read limit)")
         return partial
-    # Diagnostics (d2h reads) after ALL timing — consolidated to ONE
-    # device-side concatenation + one transfer per field: through the
-    # tunnel each separate read of an execution output costs seconds once
-    # the process is in slow mode, and a 600-frame drive holds 150+ small
-    # buffers (observed: per-summary reads hung the child past its budget,
-    # rc=124, while the measurement itself took 150 s).
-    import jax as _jax
-    import jax.numpy as _jnp
-
-    stacked = _jax.tree.map(
-        lambda *xs: _jnp.concatenate([_jnp.atleast_1d(x) for x in xs],
-                                     axis=0), *summaries)
-    host = _jax.device_get(stacked)
+    # Diagnostics (d2h reads) after ALL timing — see _stack_summaries.
+    host = _stack_summaries(summaries)
     fill = int(np.asarray(state.map.total_points))
     drops = int(np.sum(host.num_dropped_downsample)
                 + np.sum(host.num_dropped_map_voxels))
@@ -763,11 +768,7 @@ def child_soak_acc() -> dict:
     jax.block_until_ready(summaries[-1].poses)
     log(f"soak_acc [{lo}:{hi}) executed ({len(summaries)} chunks)")
 
-    import jax.numpy as jnp
-    stacked = jax.tree.map(
-        lambda *xs: jnp.concatenate([jnp.atleast_1d(x) for x in xs],
-                                    axis=0), *summaries)
-    host = jax.device_get(stacked)
+    host = _stack_summaries(summaries)
     fill = int(np.asarray(state.map.total_points))
     if ckpt_out:
         checkpoint.save_checkpoint(ckpt_out, state, cfg)
@@ -996,13 +997,15 @@ def child_soak_ab() -> dict:
     deadline = time.monotonic() + float(
         os.environ.get("KISS_BENCH_CHILD_BUDGET_S", "320"))
     est_variant_s = 70.0
-    out = {"mode": "soak_ab", "storage": storage, "max_range": soak_range}
+    out = {"mode": "soak_ab", "storage": storage, "max_range": soak_range,
+           "ground_align": soak_ground}
     slow_draws = []
     for name in SOAK_AB_VARIANTS:
         if time.monotonic() > deadline - est_variant_s:
             log(f"soak_ab: budget exhausted before {name}")
             break
         try:
+            measured = False
             # One retry on a slow-mode draw, both within the budget check.
             for attempt in range(2):
                 cfg = _config(nn_mode=name, map_storage=storage,
@@ -1033,13 +1036,18 @@ def child_soak_ab() -> dict:
                 if not aborted:
                     steady = float(np.mean(chunk_fps[len(chunk_fps) // 2:]))
                     out[name] = round(steady, 2)
+                    measured = True
                     log(f"soak_ab {name}: steady {steady:.1f} fps "
                         f"(first {chunk_fps[0]:.0f})")
                     break
                 if time.monotonic() > deadline - est_variant_s:
                     break
-            else:
+            # Explicit flag, not for-else: a deadline break between attempts
+            # must still mark the variant as an abandoned slow draw so the
+            # table distinguishes "slow" from "never ran" (code-review r5).
+            if not measured:
                 slow_draws.append(name)
+                out["slow_draws"] = list(slow_draws)
             _publish_partial(dict(out))
         except Exception as e:
             log(f"soak_ab {name}: failed ({type(e).__name__}: {e})")

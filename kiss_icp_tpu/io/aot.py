@@ -41,7 +41,13 @@ from kiss_icp_tpu import odometry
 from kiss_icp_tpu.io.checkpoint import _metadata
 from kiss_icp_tpu.ops import hash_map, registration, threshold, voxel
 
-FORMAT_VERSION = 1
+# v2: round 5 changed the serialized pytrees (VoxelMap/FrameResult gained
+# the num_oob_points counter; ChunkSummary registered for the chunked
+# export). Old artifacts would fail INSIDE jax.export deserialization with
+# an opaque error — reject them at the format gate with a clear message
+# instead (an AOT artifact is a build product: re-export it; unlike
+# checkpoints there is no data to migrate).
+FORMAT_VERSION = 2
 
 _REGISTERED = False
 

@@ -145,6 +145,21 @@ def load_checkpoint(path, config, template=None):
                 f"configuration: {mismatches} (saved, current). Re-run with "
                 "the matching config or rebuild the map."
             )
+    if len(leaves) == len(t_leaves) - 1:
+        # Round-5 migration: VoxelMap gained the num_oob_points counter
+        # leaf. A checkpoint is DATA (a built map, a mid-drive resume
+        # point) — older files must keep loading, so synthesize the missing
+        # counter as zeros at its template position instead of refusing.
+        # Identified by path name, not position guessing.
+        flat_paths = jax.tree_util.tree_flatten_with_path(template)[0]
+        idx = [i for i, (p, _) in enumerate(flat_paths)
+               if str(p[-1]).find("num_oob_points") >= 0]
+        if len(idx) == 1:
+            i = idx[0]
+            t_leaf = t_leaves[i]
+            filler = np.zeros(tuple(np.shape(t_leaf)),
+                              getattr(t_leaf, "dtype", np.int32))
+            leaves = leaves[:i] + [filler] + leaves[i:]
     if len(leaves) != len(t_leaves):
         raise ValueError(
             f"checkpoint {path} has {len(leaves)} arrays, expected "

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from kiss_icp_tpu.config.schema import KISSConfig
-from kiss_icp_tpu.ops import hash_map, preprocess, registration, se3, threshold, voxel
+from kiss_icp_tpu.ops import (ground, hash_map, preprocess, registration,
+                              se3, threshold, voxel)
 
 
 class OdometryState(NamedTuple):
@@ -230,8 +231,6 @@ def register_frame(
     #    on the half-voxel downsample — a 3-parameter plane needs no more
     #    than the ~6k voxel representatives, at 1/4 the reduction width of
     #    the raw cloud.
-    from kiss_icp_tpu.ops import ground
-
     new_pose = ground.maybe_align(config, frame_ds.points, frame_ds.valid,
                                   new_pose)
 
@@ -285,20 +284,25 @@ def make_step(config: KISSConfig) -> Callable[..., Tuple[OdometryState, FrameRes
 
 
 def rebase_state(config: KISSConfig, state: OdometryState,
-                 shift_vox: jnp.ndarray) -> OdometryState:
+                 shift_vox: jnp.ndarray
+                 ) -> Tuple[OdometryState, jnp.ndarray]:
     """Roll the world origin forward by `shift_vox` voxels: the map rebuilds
     around shifted keys (hash_map.rebase) and the pose translation shifts by
     the same exactly-representable voxel multiple. `delta` (relative motion)
     and the adaptive threshold (scalars of relative error) are translation-
     invariant and untouched. The caller accumulates
     `shift_vox * voxel_size` into its world-frame origin so reported poses
-    are unchanged — see KissICP.maybe_rebase."""
+    are unchanged — see KissICP.maybe_rebase.
+
+    Returns (state, voxels dropped by the rebuild) — the drop count follows
+    the loud-surfacing contract of every other capacity event (maybe_rebase
+    warns on it)."""
     mcfg = map_config(config)
-    new_map, _ = hash_map.rebase(mcfg, state.map,
-                                 shift_vox.astype(jnp.int32))
+    new_map, dropped = hash_map.rebase(mcfg, state.map,
+                                       shift_vox.astype(jnp.int32))
     shift_m = shift_vox.astype(jnp.float32) * jnp.float32(mcfg.voxel_size)
     pose = state.pose.at[:3, 3].add(-shift_m)
-    return state._replace(pose=pose, map=new_map)
+    return state._replace(pose=pose, map=new_map), dropped
 
 
 def make_rebase(config: KISSConfig):
@@ -403,6 +407,7 @@ class KissICP:
         # origin + local. Advanced by `maybe_rebase`; float64 so kilometers
         # of accumulated offset never round.
         self.origin = np.zeros(3, np.float64)
+        self.total_rebase_dropped = 0
         self._rebase_step = None
         self._build()
 
@@ -575,16 +580,33 @@ class KissICP:
         # Voxel-aligned shift: u16 voxel-relative payloads are bit-identical
         # under it, f32 payloads shift by an exactly-representable multiple.
         shift_vox = np.floor(local_t / v).astype(np.int32)
-        self._apply_rebase(shift_vox)
+        dropped = self._apply_rebase(shift_vox)
         self.origin = self.origin + shift_vox.astype(np.float64) * v
+        # Loud-surfacing contract: a rebuild drop permanently thins the map
+        # (vanishingly rare at production load factors, but never silent).
+        self.total_rebase_dropped += dropped
+        if dropped:
+            import warnings
+
+            warnings.warn(
+                f"rolling-origin re-base dropped {dropped} voxels during "
+                "the table rebuild — the map is over-full for its "
+                "capacity_log2/probe_length; raise them.",
+                RuntimeWarning, stacklevel=2,
+            )
         return True
 
-    def _apply_rebase(self, shift_vox: np.ndarray) -> None:
+    def _apply_rebase(self, shift_vox: np.ndarray) -> int:
         """Run the device re-base on this engine's state (the map-sharded
-        engine overrides this with its cross-shard rebuild)."""
+        engine overrides this with its cross-shard rebuild). Returns the
+        number of voxels the rebuild dropped."""
         if self._rebase_step is None:
             self._rebase_step = make_rebase(self.config)
-        self.state = self._rebase_step(self.state, jnp.asarray(shift_vox))
+        self.state, dropped = self._rebase_step(self.state,
+                                                jnp.asarray(shift_vox))
+        # maybe_rebase runs at materialization points (pose already read),
+        # so this scalar read is free of pipelining cost.
+        return int(np.asarray(dropped))
 
     def save_checkpoint(self, path) -> None:
         """Persist the full odometry state (pose, motion model, adaptive

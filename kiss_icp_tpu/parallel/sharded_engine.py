@@ -157,28 +157,55 @@ class ShardedKissICP(odometry.KissICP):
         rows = np.asarray(hash_map.window_row(
             jnp.asarray(keys_live), mcfg_local.capacity_log2, k))
 
+        # Vectorized deterministic placement (code-review r5: the previous
+        # per-voxel Python loop was an O(live) interpreter stall on the
+        # engine built for big maps). Semantics identical to sequential
+        # placement in ascending old-slot order:
+        #   * within a window, survivors take free slots in old-slot order
+        #     (rank = position within the (shard,row) group);
+        #   * a voxel whose window already holds an EARLIER voxel with the
+        #     same fingerprint drops (shadow pair — all but the first of
+        #     each (window, fp) run);
+        #   * rank >= probe_length drops (window overflow).
+        win = shard.astype(np.int64) * (cl // k) + rows.astype(np.int64)
+        n_live = len(live_idx)
+        pos = np.arange(n_live)
+        # Shadow detection: first-by-pos of each (window, fp) survives.
+        order_fp = np.lexsort((pos, fp, win))
+        w_s, f_s = win[order_fp], fp[order_fp]
+        dup_sorted = np.concatenate(
+            [[False], (w_s[1:] == w_s[:-1]) & (f_s[1:] == f_s[:-1])])
+        shadowed = np.zeros(n_live, bool)
+        shadowed[order_fp] = dup_sorted
+        # Rank among survivors within each window, in old-slot order.
+        order_w = np.lexsort((pos, win))
+        w_o = win[order_w]
+        surv_o = (~shadowed)[order_w].astype(np.int64)
+        csum = np.cumsum(surv_o)
+        head = np.concatenate([[True], w_o[1:] != w_o[:-1]])
+        seg_base = np.zeros(n_live, np.int64)
+        seg_base[head] = csum[head] - surv_o[head]
+        seg_base = np.maximum.accumulate(
+            np.where(head, seg_base, np.int64(-1)))
+        rank_o = csum - surv_o - seg_base
+        rank = np.empty(n_live, np.int64)
+        rank[order_w] = rank_o
+        placed = ~shadowed & (rank < k)
+        slots = win * k + rank  # global slot = (shard*cl/k + row)*k + rank
+
         out_vkeys = np.zeros_like(vkeys)
         out_fp = np.zeros(d * cl, np.int32)
         out_counts = np.zeros(d * cl, np.int32)
         out_points = np.zeros_like(points)
-        totals = np.zeros(d, np.int64)
-        dropped = 0
-        for j, old_slot in enumerate(live_idx):
-            base = int(shard[j]) * cl + int(rows[j]) * k
-            window = out_fp[base:base + k]
-            if np.any((window == fp[j])):
-                dropped += 1  # fingerprint shadow pair: counted drop
-                continue
-            free = np.flatnonzero(window == 0)
-            if len(free) == 0:
-                dropped += 1  # window overflow after re-hash: counted drop
-                continue
-            slot = base + int(free[0])
-            out_fp[slot] = fp[j]
-            out_vkeys[slot] = keys_live[j]
-            out_counts[slot] = counts[old_slot]
-            out_points[slot] = points[old_slot]
-            totals[int(shard[j])] += int(counts[old_slot])
+        src = live_idx[placed]
+        dst = slots[placed]
+        out_fp[dst] = fp[placed]
+        out_vkeys[dst] = keys_live[placed]
+        out_counts[dst] = counts[src]
+        out_points[dst] = points[src]
+        totals = np.bincount(shard[placed], weights=counts[src],
+                             minlength=d).astype(np.int64)
+        dropped = int(n_live - placed.sum())
 
         pose = np.asarray(self.state.pose, np.float64)
         pose[:3, 3] -= shift_vox.astype(np.float64) * v
@@ -198,6 +225,7 @@ class ShardedKissICP(odometry.KissICP):
             total_points=put(totals.astype(np.int32), P(MAP_AXIS)),
             num_dropped_voxels=put(old_drops, P(MAP_AXIS)),
         )
+        return dropped
 
     def shard_occupancy(self) -> np.ndarray:
         """(D,) live-voxel count per shard — load-balance diagnostic."""

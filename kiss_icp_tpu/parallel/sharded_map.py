@@ -50,7 +50,8 @@ except ImportError:  # pragma: no cover
 
 from kiss_icp_tpu.config.schema import KISSConfig
 from kiss_icp_tpu import odometry
-from kiss_icp_tpu.ops import hash_map, preprocess, registration, se3, threshold, voxel
+from kiss_icp_tpu.ops import (ground, hash_map, preprocess, registration,
+                              se3, threshold, voxel)
 from kiss_icp_tpu.ops.hash_map import _hash_coords  # sharding uses the same mix
 
 MAP_AXIS = "map"
@@ -282,8 +283,6 @@ def frame_step_shard(
     # the same shared 5d step as odometry.register_frame, on the same
     # half-voxel downsample). Replicated, deterministic computation: no
     # collectives, every shard applies the identical correction.
-    from kiss_icp_tpu.ops import ground
-
     new_pose = ground.maybe_align(config, frame_ds.points, frame_ds.valid,
                                   new_pose)
 

@@ -204,3 +204,49 @@ def test_checkpoint_without_map_shards_key_loads(tmp_path):
     fresh = KissICP(cfg)
     fresh.load_checkpoint(p)
     np.testing.assert_array_equal(fresh.last_pose, icp.last_pose)
+
+
+def test_pre_round5_checkpoint_leaf_migration(tmp_path):
+    """Round 5 added the num_oob_points leaf to VoxelMap. A checkpoint
+    written BEFORE that (one fewer leaf — simulated by stripping the leaf
+    from a fresh file) must still load, with the counter synthesized as
+    zeros and every other leaf intact (code-review r5: the compat claim
+    was previously untested against a genuinely old file)."""
+    import jax
+    import numpy as np
+
+    from kiss_icp_tpu.io import checkpoint
+    from kiss_icp_tpu.odometry import KissICP, init_state
+
+    cfg = _cfg()
+    icp = KissICP(cfg)
+    for f, t in _scans(3):
+        icp.register_frame(f, t)
+    path = tmp_path / "new.npz"
+    icp.save_checkpoint(path)
+
+    # Rewrite as an OLD-format file: drop the num_oob_points leaf and
+    # renumber the rest.
+    flat_paths = jax.tree_util.tree_flatten_with_path(init_state(cfg))[0]
+    oob_idx = [i for i, (p, _) in enumerate(flat_paths)
+               if "num_oob_points" in str(p[-1])]
+    assert len(oob_idx) == 1
+    with np.load(path) as d:
+        arrays = {k: d[k] for k in d.files}
+    n = sum(1 for k in arrays if k.startswith("leaf_"))
+    old = {k: v for k, v in arrays.items() if not k.startswith("leaf_")}
+    j = 0
+    for i in range(n):
+        if i == oob_idx[0]:
+            continue
+        old[f"leaf_{j}"] = arrays[f"leaf_{i}"]
+        j += 1
+    old_path = tmp_path / "old.npz"
+    np.savez(old_path, **old)
+
+    state = checkpoint.load_checkpoint(old_path, cfg)
+    assert int(np.asarray(state.map.num_oob_points)) == 0
+    np.testing.assert_array_equal(np.asarray(state.pose),
+                                  np.asarray(icp.state.pose))
+    np.testing.assert_array_equal(np.asarray(state.map.counts),
+                                  np.asarray(icp.state.map.counts))
