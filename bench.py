@@ -179,6 +179,9 @@ def _config(use_pallas="auto", map_storage="f32", probe_length=16,
         # the 100 m-derived 1.0 m so the map geometry is unchanged.
         cfg.data.max_range = float(max_range)
     cfg.data.min_range = 1.0
+    # GN-loop unroll A/B knob (bit-exact trajectories by construction —
+    # tests/test_registration.py — so it may only move wall time).
+    cfg.engine.gn_unroll = int(os.environ.get("KISS_BENCH_GN_UNROLL", "1"))
     cfg.engine.map_storage = map_storage
     cfg.engine.probe_length = probe_length
     cfg.engine.nn_mode = nn_mode

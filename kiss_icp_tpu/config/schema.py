@@ -141,6 +141,14 @@ class EngineConfig:
     # delta (the pose estimate is untouched; refined points reach future
     # frames through the voxel slabs). One extra deskew+downsample per frame.
     deskew_refine_map: bool = False
+    # GN iterations executed per ICP while_loop trip. EXACTLY equivalent to
+    # 1 (the loop body freezes converged state, so extra sub-iterations
+    # pass through; same trajectory, same iteration count) while paying the
+    # while_loop's per-trip control overhead 1/unroll as often — a lever on
+    # the ~40 us/iteration serial latency floor the capacity ablation
+    # identified (docs/ARCHITECTURE.md). Cost: up to unroll-1 wasted frozen
+    # body evaluations per solve at convergence. Default from the bench A/B.
+    gn_unroll: int = 1
     # Ground-plane attitude stabilization strength (0 = off, reference
     # semantics). Each frame the lowest-annulus ground plane is fitted in
     # the body frame and the pose rotated by this fraction of the measured

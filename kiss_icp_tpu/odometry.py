@@ -160,6 +160,7 @@ def register_frame(
                 if float(config.engine.assoc_refresh_dist) > 0
                 else 0.25 * vsize
             ),
+            gn_unroll=int(config.engine.gn_unroll),
         )
         return prep, frame_ds, source, align
 

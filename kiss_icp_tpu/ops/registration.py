@@ -119,6 +119,7 @@ def gauss_newton_loop(
     reduce_fn=lambda ls: ls,
     linsys_mask=None,
     any_active_fn=lambda a: a,
+    unroll: int = 1,
 ):
     """The shared ICP while-loop (reference Registration.cpp:151-164).
 
@@ -132,6 +133,17 @@ def gauss_newton_loop(
         psum over a mesh axis when correspondences are sharded.
       * linsys_mask (N,) — optional extra mask on the correspondences used
         for the reduction (e.g. a 1/D stripe per device).
+      * unroll — GN iterations executed per while_loop trip. The loop body
+        already FREEZES a converged solve (state passes through unchanged,
+        `it` stops counting), so running the body `unroll` times per trip
+        is EXACTLY equivalent to unroll=1 — same trajectory, same reported
+        iteration count — while paying the while_loop's per-trip overhead
+        (cond evaluation, loop-carry scheduling) 1/unroll as often. The
+        hot loop is latency-bound at ~40 us/iteration (capacity ablation,
+        docs/ARCHITECTURE.md), so trip-count halving is a direct lever on
+        the serial floor; the cost is up to unroll-1 wasted (frozen) body
+        evaluations at convergence. Under a sync_axis, every member runs
+        the same unrolled body, so collective counts stay uniform.
       * any_active_fn(bool) -> bool — identity on one device. When several
         independent solves share one SPMD program but communicate over
         DISJOINT collective groups (the pod program: each seq row ring-
@@ -190,11 +202,16 @@ def gauss_newton_loop(
     # mesh-varying, so the initial carries must be too). done0 is always
     # False — `x < -inf` is False even for NaN — and everything folds to a
     # constant in the single-device path.
+    def body_unrolled(carry):
+        for _ in range(max(1, int(unroll))):
+            carry = body(carry)
+        return carry
+
     done0 = max_distance < -jnp.inf
     it0 = jnp.where(done0, jnp.int32(1), jnp.int32(0))
     t_icp0 = jnp.where(done0, jnp.zeros((4, 4), jnp.float32), se3.identity())
     _, t_icp, iters, _ = jax.lax.while_loop(
-        cond, body, (src0, t_icp0, it0, done0),
+        cond, body_unrolled, (src0, t_icp0, it0, done0),
     )
     return t_icp, iters
 
@@ -294,7 +311,7 @@ def gauss_newton_loop_cached(
     jax.jit,
     static_argnames=("cfg", "max_iterations", "convergence", "use_pallas",
                      "nn_mode", "nn_live_capacity_log2", "nn_probe_length",
-                     "assoc_cache_size", "assoc_refresh_dist"),
+                     "assoc_cache_size", "assoc_refresh_dist", "gn_unroll"),
 )
 def align_points_to_map(
     cfg: hash_map.MapConfig,
@@ -313,6 +330,7 @@ def align_points_to_map(
     nn_probe_length: int = 8,
     assoc_cache_size: int = 8,
     assoc_refresh_dist: float = 0.25,
+    gn_unroll: int = 1,
 ) -> AlignResult:
     """Register one (body-frame) source scan against the local map.
 
@@ -394,6 +412,7 @@ def align_points_to_map(
             points, valid, guess, max_distance, kernel_scale,
             query_fn=query_fn, max_iterations=max_iterations,
             convergence=convergence, linsys_fn=linsys,
+            unroll=gn_unroll,
         )
 
     # Final correspondence count for diagnostics (one extra association).

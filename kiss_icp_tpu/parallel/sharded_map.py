@@ -272,6 +272,7 @@ def frame_step_shard(
         query_fn=query_fn, max_iterations=max_iterations,
         convergence=convergence, reduce_fn=reduce_fn,
         linsys_mask=my_stripe, any_active_fn=any_active_fn,
+        unroll=int(config.engine.gn_unroll),
     )
     aligned = t_icp @ guess
     pose_finite = jnp.all(jnp.isfinite(aligned))

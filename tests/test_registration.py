@@ -132,3 +132,44 @@ def test_align_matches_reference_oracle():
         max_iterations=50,
     )
     np.testing.assert_allclose(np.asarray(ours.pose), theirs, atol=2e-3)
+
+
+def test_gn_unroll_is_bit_exact():
+    """engine.gn_unroll runs the GN body `unroll` times per while trip; the
+    body freezes converged state, so the trajectory AND the reported
+    iteration counts must be bit-identical to unroll=1 — the knob may only
+    change wall time."""
+    import numpy as np
+
+    from kiss_icp_tpu.datasets.synthetic import SyntheticDataset
+    from kiss_icp_tpu.config.schema import KISSConfig
+    from kiss_icp_tpu.odometry import KissICP
+
+    def cfg(unroll):
+        c = KISSConfig()
+        c.data.max_range = 30.0
+        c.data.min_range = 1.0
+        c.mapping.voxel_size = 1.0
+        c.engine.max_points_per_frame = 4096
+        c.engine.frame_capacity = 2048
+        c.engine.source_capacity = 512
+        c.engine.map_capacity_log2 = 14
+        c.engine.use_pallas = False
+        c.engine.gn_unroll = unroll
+        return c
+
+    ds = SyntheticDataset(sequence=0, n_scans=10, n_beams=16, n_azimuth=256,
+                          max_range=30.0, speed=1.0, accel_frames=3)
+    runs = {}
+    for u in (1, 2, 3):
+        icp = KissICP(cfg(u))
+        poses, iters = [], []
+        for i in range(10):
+            f, t = ds[i]
+            icp.register_frame(f, t)
+            poses.append(np.asarray(icp.state.pose))
+            iters.append(int(np.asarray(icp.last_result.num_iterations)))
+        runs[u] = (np.asarray(poses), iters)
+    for u in (2, 3):
+        np.testing.assert_array_equal(runs[u][0], runs[1][0])
+        assert runs[u][1] == runs[1][1]
