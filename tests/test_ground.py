@@ -182,3 +182,23 @@ def test_sharded_engine_ground_align_matches_single_device():
         f, t = ds[i]
         off.register_frame(f, t)
     assert not np.allclose(off.last_pose, shd.last_pose, atol=1e-6)
+
+
+def test_ground_align_survives_degenerate_scans():
+    """Empty / all-NaN / out-of-range scans with the stabilizer ON must
+    behave exactly like the established degradation contract (pose stays
+    finite, constant-velocity extrapolation): an all-NaN quantile or an
+    empty band must gate to a no-op, never propagate NaN into the pose."""
+    icp = KissICP(_cfg(0.15))
+    ds = SyntheticDataset(sequence=0, n_scans=4, n_beams=24, n_azimuth=360,
+                          max_range=30.0, speed=1.0, accel_frames=2)
+    f, t = ds[0]
+    icp.register_frame(f, t)
+    icp.register_frame(np.zeros((0, 3), np.float32), np.zeros(0, np.float32))
+    icp.register_frame(np.full((500, 3), np.nan, np.float32),
+                       np.zeros(500, np.float32))
+    icp.register_frame(np.full((500, 3), 9000.0, np.float32),
+                       np.zeros(500, np.float32))
+    f, t = ds[1]
+    icp.register_frame(f, t)
+    assert np.all(np.isfinite(icp.last_pose))
