@@ -295,7 +295,18 @@ def main(argv=None) -> int:
                     help="write raw cell dicts as JSON lines")
     ap.add_argument("--cells", default=None,
                     help="comma-separated subset of cell names")
+    ap.add_argument("--frames", type=int, default=None,
+                    help="drive length (default 240). NOTE: through the "
+                         "axon dev tunnel a process that feeds >~300 "
+                         "frames of unique input can no longer READ any "
+                         "device buffer (verify SKILL.md addendum 6) — "
+                         "run long-horizon cells on CPU (JAX_PLATFORMS="
+                         "cpu), where accuracy is identical and reads are "
+                         "safe.")
     args = ap.parse_args(argv)
+    if args.frames:
+        global N_FRAMES
+        N_FRAMES = int(args.frames)
 
     import jax
     log(f"devices: {jax.devices()}")
