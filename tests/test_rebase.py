@@ -309,3 +309,78 @@ def test_sharded_checkpoint_roundtrips_origin(tmp_path):
     icp2.load_checkpoint(path)
     np.testing.assert_array_equal(icp2.origin, icp.origin)
     np.testing.assert_allclose(icp2.last_pose, icp.last_pose, atol=1e-6)
+
+
+def test_sharded_rebase_rebuild_invariants_dense():
+    """Stress the VECTORIZED cross-shard rebuild (code-review r5 replaced a
+    per-voxel Python loop): on a densely loaded sharded map, a forced
+    re-base must preserve the point multiset exactly (shifted), keep
+    per-shard totals consistent with counts, and count any drops."""
+    from kiss_icp_tpu.parallel.sharded_engine import ShardedKissICP
+
+    cfg = _engine_config(trigger=0)
+    cfg.engine.map_shards = 2
+    cfg.engine.map_capacity_log2 = 10  # 1024 slots over 2 shards: dense
+    cfg.engine.probe_length = 8
+    icp = ShardedKissICP(cfg)
+    rng = np.random.default_rng(7)
+    for i in range(4):
+        # dense random clouds -> thousands of distinct voxels, high load
+        pts = rng.uniform(-14, 14, (3000, 3)).astype(np.float32)
+        icp.register_frame(pts + np.array([i * 0.5, 0, 0], np.float32))
+
+    before = icp.local_map_points()
+    before = before[np.lexsort(before.T)]
+    live_before = int(np.sum(np.asarray(icp.state.counts) > 0))
+    pts_before = int(np.asarray(icp.state.counts).sum())
+
+    shift = np.array([5, -3, 2], np.int32)
+    dropped = icp._apply_rebase(shift)
+    icp.origin = icp.origin + shift.astype(np.float64) * 1.0
+
+    counts = np.asarray(icp.state.counts)
+    assert int(np.sum(counts > 0)) == live_before - dropped
+    # per-shard totals == sum of that shard's counts
+    d = 2
+    cl = counts.shape[0] // d
+    totals = np.asarray(icp.state.total_points)
+    for s in range(d):
+        assert totals[s] == counts[s * cl:(s + 1) * cl].sum()
+    after = icp.local_map_points()
+    after = after[np.lexsort(after.T)]
+    if dropped == 0:
+        assert pts_before == counts.sum()
+        np.testing.assert_allclose(after, before, atol=2e-4)
+    else:
+        assert counts.sum() < pts_before
+    # every stored voxel is findable post-rebase (no shadow pairs): query
+    # each stored first point, expect a hit at ~zero distance
+    from kiss_icp_tpu import odometry as odo
+    from kiss_icp_tpu.parallel import sharded_map as sm
+
+    mcfg_l = sm.local_map_config(cfg, icp.mesh)
+    live = counts > 0
+    # check per shard with the LOCAL table view
+    vk = np.asarray(icp.state.vkeys)
+    cnts = np.asarray(icp.state.counts)
+    ptsarr = np.asarray(icp.state.points)
+    fpr = np.asarray(icp.state.fprints)
+    for s in range(d):
+        sl = slice(s * cl, (s + 1) * cl)
+        m = hm.VoxelMap(
+            vkeys=jnp.asarray(vk[sl]), fprints=jnp.asarray(fpr[sl]),
+            counts=jnp.asarray(cnts[sl]), points=jnp.asarray(ptsarr[sl]),
+            total_points=jnp.asarray(cnts[sl].sum().astype(np.int32)),
+            num_dropped_voxels=jnp.zeros((), jnp.int32),
+            num_oob_points=jnp.zeros((), jnp.int32),
+        )
+        livemask = cnts[sl] > 0
+        if not livemask.any():
+            continue
+        q = np.asarray(hm.decode_points(
+            mcfg_l, jnp.asarray(ptsarr[sl][livemask][:, 0, :]),
+            jnp.asarray(vk[sl][livemask])))
+        r = hm.query_nearest(mcfg_l, m, jnp.asarray(q),
+                             jnp.ones(len(q), bool))
+        assert bool(np.all(np.asarray(r.found)))
+        np.testing.assert_allclose(np.asarray(r.distances), 0.0, atol=1e-4)
