@@ -360,18 +360,23 @@ def child_chunked(use_pallas, map_storage: str = "f32",
 
 
 AB_VARIANTS = {
-    # name -> (use_pallas, map_storage, probe_length, nn_mode)
-    "jnp": (False, "f32", 16, "gather27"),
-    "pallas": ("auto", "f32", 16, "gather27"),
-    "k8": ("auto", "f32", 8, "gather27"),
-    "u16": ("auto", "u16", 16, "gather27"),
-    "u16_k8": ("auto", "u16", 8, "gather27"),
-    "loop27": ("auto", "u16", 8, "loop27"),
-    "compact": ("auto", "u16", 8, "compact"),
-    "compact_loop": ("auto", "u16", 8, "compact_loop"),
-    "cached": ("auto", "f32", 16, "cached"),
-    "fused": ("auto", "u16", 8, "pallas_fused"),
-    "fused_f32": ("auto", "f32", 8, "pallas_fused"),
+    # name -> (use_pallas, map_storage, probe_length, nn_mode, gn_unroll)
+    "jnp": (False, "f32", 16, "gather27", 1),
+    "pallas": ("auto", "f32", 16, "gather27", 1),
+    # GN-loop unroll (bit-exact; attacks the ~40 us serial iteration
+    # floor) — ranked right after the default so a budget-trimmed child
+    # still measures it.
+    "unroll2": ("auto", "f32", 16, "gather27", 2),
+    "unroll4": ("auto", "f32", 16, "gather27", 4),
+    "k8": ("auto", "f32", 8, "gather27", 1),
+    "u16": ("auto", "u16", 16, "gather27", 1),
+    "u16_k8": ("auto", "u16", 8, "gather27", 1),
+    "loop27": ("auto", "u16", 8, "loop27", 1),
+    "compact": ("auto", "u16", 8, "compact", 1),
+    "compact_loop": ("auto", "u16", 8, "compact_loop", 1),
+    "cached": ("auto", "f32", 16, "cached", 1),
+    "fused": ("auto", "u16", 8, "pallas_fused", 1),
+    "fused_f32": ("auto", "f32", 8, "pallas_fused", 1),
 }
 
 
@@ -411,7 +416,7 @@ def child_ab() -> dict:
 
     best = {}
     slow_draws = []
-    for name, (up, storage, k, nn) in AB_VARIANTS.items():
+    for name, (up, storage, k, nn, unroll) in AB_VARIANTS.items():
         if time.monotonic() > deadline - est_variant_s:
             log(f"ab: child budget exhausted before {name}; "
                 "remaining variants skipped")
@@ -420,6 +425,7 @@ def child_ab() -> dict:
         # error) on one variant must not lose the variants already timed.
         try:
             cfg = _config(up, storage, k, nn)
+            cfg.engine.gn_unroll = unroll
             chunk = make_chunked_step(cfg)
             t0 = time.perf_counter()
             state = init_state(cfg)
@@ -970,7 +976,8 @@ def child_streaming() -> dict:
             "n_frames": best[3], "r2_band_ms": [0.65, 0.84]}
 
 
-SOAK_AB_VARIANTS = ("gather27", "compact", "compact_loop", "loop27")
+SOAK_AB_VARIANTS = ("gather27", "unroll2", "compact", "compact_loop",
+                    "loop27")
 
 
 def child_soak_ab() -> dict:
@@ -1010,10 +1017,16 @@ def child_soak_ab() -> dict:
         try:
             measured = False
             # One retry on a slow-mode draw, both within the budget check.
+            # "unroll2" = the default strategy with the GN loop unrolled
+            # (bit-exact; steady-state is where the serial iteration floor
+            # matters most).
+            nn_name = "gather27" if name == "unroll2" else name
             for attempt in range(2):
-                cfg = _config(nn_mode=name, map_storage=storage,
+                cfg = _config(nn_mode=nn_name, map_storage=storage,
                               max_range=soak_range, subsalt=attempt,
                               ground_align=soak_ground)
+                if name == "unroll2":
+                    cfg.engine.gn_unroll = 2
                 chunk = make_chunked_step(cfg)
                 state = init_state(cfg)
                 t0 = time.perf_counter()
