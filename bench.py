@@ -1261,6 +1261,22 @@ def _run_child(mode: str, salt: int, timeout: int) -> dict | None:
     return result
 
 
+def _tunnel_alive() -> bool:
+    """Liveness probe of the axon relay (the verify skill's documented
+    check). Only meaningful when this environment routes JAX through the
+    relay — anywhere else report alive so the probe can never block a
+    normal backend."""
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return True
+    import socket
+
+    try:
+        with socket.create_connection(("127.0.0.1", 8082), timeout=2):
+            return True
+    except OSError:
+        return False
+
+
 def _parsed_line(headline, soak=None, batched=None, aot=None,
                  streaming=None, robust=None) -> dict:
     """The driver-parseable object. `value` is the best chunked draw;
@@ -1449,6 +1465,31 @@ def parent() -> int:
 
     headline = None
 
+    # Relay liveness gate: with the axon tunnel down, every child HANGS in
+    # backend init (no error — verify SKILL.md addendum 3) and burns its
+    # full timeout; the whole budget can evaporate into hangs and the round
+    # then publishes NOTHING (the round-2 null-artifact failure mode).
+    # Poll briefly for recovery, and if the relay stays dead emit an
+    # explicit error line instead of a silent absence.
+    if not _tunnel_alive():
+        log("axon relay unreachable (127.0.0.1:8082); polling for recovery")
+        poll_until = min(deadline - 300.0,
+                         time.monotonic() + 600.0)
+        while time.monotonic() < poll_until and not _tunnel_alive():
+            time.sleep(15)
+        if not _tunnel_alive():
+            log("axon relay still down; emitting explicit failure line")
+            emit_headline({
+                "metric": "odometry_frames_per_s_per_chip", "value": 0.0,
+                "unit": "frames/s", "vs_baseline": 0.0,
+                "error": "axon relay (127.0.0.1:8082) unreachable for the "
+                         "whole bench window — device backend init hangs; "
+                         "environment outage, not a framework regression "
+                         "(see .claude/skills/verify/SKILL.md addendum 3)",
+            })
+            return 0
+        log("axon relay recovered; proceeding")
+
     # Pre-generate the scan caches OUTSIDE the child timeouts (scan synthesis
     # is minutes of host numpy for the 240-frame soak; see _scans). The
     # headline needs only the 14-frame cache; the 240-frame one is generated
@@ -1611,8 +1652,20 @@ def parent() -> int:
         except OSError:
             pass
 
-    emit_headline(_parsed_line(headline, soak, batched, aot, streaming,
-                               robust))
+    if headline is not None:
+        emit_headline(_parsed_line(headline, soak, batched, aot, streaming,
+                                   robust))
+    else:
+        # NEVER end without a parsed line (the round-2 null-artifact
+        # failure): say explicitly that no child completed and why that is
+        # most likely environmental.
+        emit_headline({
+            "metric": "odometry_frames_per_s_per_chip", "value": 0.0,
+            "unit": "frames/s", "vs_baseline": 0.0,
+            "error": "no bench child completed within the budget "
+                     "(children hung or timed out — check the axon relay "
+                     "and bench_logs/ for this stamp)",
+        })
     log(f"bench done in {time.monotonic() - t_start:.0f}s "
         f"(budget {budget:.0f}s)")
     return 0
